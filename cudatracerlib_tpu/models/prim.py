@@ -1,0 +1,101 @@
+"""PrimTracer: primary-hit AOV renderer.
+
+Reference: ``Integrators/PrimTracer.h`` (15 draw modes rendering depth /
+normals / uv / barycentrics / first-hit emission / albedo). The whole pass is
+one jitted function over all pixels.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..scene import schema
+from ..ops import shading, traversal
+from . import film as filmmod
+from . import tracer
+
+# Draw modes (subset named like the reference's PrimTracer enum)
+D_LINEAR_DEPTH = 0
+D_D3D_DEPTH = 1
+D_NORMAL_GEO = 2
+D_NORMAL_SHADE = 3
+D_UV = 4
+D_BARY = 5
+D_MAT_ID = 6
+D_LIGHT_LE = 7      # first-hit emitted radiance
+D_ALBEDO = 8        # first-hit diffuse reflectance approximation
+D_UVSET = 9
+
+
+class PrimTracer(tracer.TracerBase):
+    progressive = False
+
+    def __init__(self, scene, width, height, draw_mode: int = D_NORMAL_SHADE,
+                 **kw):
+        super().__init__(scene, width, height, **kw)
+        self.draw_mode = draw_mode
+        self._jitted = jax.jit(partial(_prim_pass, draw_mode=draw_mode,
+                                       w=width, h=height))
+
+    def render_pass(self, scene, film, pass_idx):
+        return self._jitted(scene, film, jnp.int32(pass_idx))
+
+    def _debug_lane(self, pixel_idx):
+        rays, px, py, state, wt = tracer.gen_camera_rays(
+            self.scene, pixel_idx, 0, 0, self.width, self.height)
+        hit = traversal.intersect_bvh(self.scene.geom.nodes, self.scene.geom.tris,
+                                      self.scene.geom.tri_order, rays)
+        si = shading.fill_dg(self.scene.geom, rays, hit)
+        return dict(ray_o=rays.o, ray_d=rays.d, t=hit.t, tri=hit.tri,
+                    p=si.p, ns=si.ns, uv=si.uv, mat=si.mat_id)
+
+
+def _prim_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+               draw_mode: int, w: int, h: int) -> filmmod.Film:
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
+    hit = traversal.intersect_bvh(scene.geom.nodes, scene.geom.tris,
+                                  scene.geom.tri_order, rays)
+    si = shading.fill_dg(scene.geom, rays, hit)
+    val = _aov(scene, rays, hit, si, draw_mode)
+    val = jnp.where(si.valid[:, None], val, 0.0)
+    return filmmod.add_samples(film, px, py, val)
+
+
+def _aov(scene, rays, hit, si: shading.SurfaceInteraction, mode: int):
+    if mode == D_LINEAR_DEPTH:
+        far = vm.length(scene.world_hi - scene.world_lo)
+        d = jnp.clip(hit.t / far, 0.0, 1.0)
+        return jnp.repeat(d[:, None], 3, -1)
+    if mode == D_D3D_DEPTH:
+        near, far = 1.0, vm.length(scene.world_hi - scene.world_lo)
+        z = hit.t
+        d = (far / (far - near)) * (1.0 - near / jnp.maximum(z, 1e-6))
+        return jnp.repeat(jnp.clip(d, 0, 1)[:, None], 3, -1)
+    if mode == D_NORMAL_GEO:
+        return si.ng * 0.5 + 0.5
+    if mode == D_NORMAL_SHADE:
+        return si.ns * 0.5 + 0.5
+    if mode in (D_UV, D_UVSET):
+        return jnp.concatenate([si.uv % 1.0, jnp.zeros_like(si.uv[:, :1])], -1)
+    if mode == D_BARY:
+        b = si.bary
+        return jnp.stack([1 - b[:, 0] - b[:, 1], b[:, 0], b[:, 1]], -1)
+    if mode == D_MAT_ID:
+        from ..core import rng as rngmod
+        c = rngmod.pcg_hash(si.mat_id.astype(jnp.uint32))
+        r = (c & 0xFF).astype(jnp.float32) / 255.0
+        g = ((c >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        bb = ((c >> 16) & 0xFF).astype(jnp.float32) / 255.0
+        return jnp.stack([r, g, bb], -1)
+    if mode == D_LIGHT_LE:
+        lid = jnp.maximum(si.light_id, 0)
+        rad = jnp.take(scene.lights.params, lid, axis=0)[:, 3:6]
+        return jnp.where((si.light_id >= 0)[:, None], rad, 0.0)
+    if mode == D_ALBEDO:
+        refl = jnp.take(scene.materials.params, jnp.maximum(si.mat_id, 0), axis=0)[:, 0:3]
+        return refl
+    raise ValueError(f"unknown draw mode {mode}")

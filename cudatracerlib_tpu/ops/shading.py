@@ -1,0 +1,101 @@
+"""Surface interaction construction from ray hits.
+
+Reference: ``fillDG`` shading-frame reconstruction (`Kernel/TraceHelper.cu:274-307`)
+and ``Engine/DifferentialGeometry.h``. Gathers per-triangle shading rows for a
+hit batch and builds interpolated normals, UVs and a tangent frame.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import frame as fr
+from ..core import vecmath as vm
+from ..scene import schema
+from . import traversal
+
+Array = jax.Array
+
+
+class SurfaceInteraction(NamedTuple):
+    valid: Array    # (B,) hit anything
+    p: Array        # (B, 3) hit position
+    t: Array        # (B,) distance
+    ng: Array       # (B, 3) geometric normal (forward-facing w.r.t. ray)
+    ns: Array       # (B, 3) interpolated shading normal (forward-facing)
+    uv: Array       # (B, 2)
+    frame_t: Array  # (B, 3) shading tangent
+    frame_s: Array  # (B, 3) shading bitangent
+    bary: Array     # (B, 2) (u, v)
+    mat_id: Array   # (B,) i32
+    light_id: Array  # (B,) i32
+    tri: Array      # (B,) i32
+    wi: Array       # (B, 3) unit direction toward the ray origin (world)
+    flipped: Array  # (B,) bool: true if normals were flipped to face the ray
+
+    def frame(self) -> fr.Frame:
+        return fr.Frame(self.frame_t, self.frame_s, self.ns)
+
+    def to_local(self, v: Array) -> Array:
+        return self.frame().to_local(v)
+
+    def to_world(self, v: Array) -> Array:
+        return self.frame().to_world(v)
+
+
+def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
+            hit: traversal.Hit, flip_to_ray: bool = True) -> SurfaceInteraction:
+    tid = jnp.maximum(hit.tri, 0)
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    take = lambda a: jnp.take(a, tid, axis=0)
+    n0, n1, n2 = take(geom.n0), take(geom.n1), take(geom.n2)
+    uv0, uv1, uv2 = take(geom.uv0), take(geom.uv1), take(geom.uv2)
+    ns = vm.normalize(w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
+    uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+    ng = take(geom.ng)
+    p = rays.o + rays.d * hit.t[:, None]
+
+    # dpdu from UV parameterization (for anisotropic BSDFs / bump mapping)
+    trow = jnp.take(geom.tris, tid, axis=0)
+    e1, e2 = trow[:, 3:6], trow[:, 6:9]
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    dpdu = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
+    degenerate = jnp.abs(det) < 1e-12
+
+    if flip_to_ray:
+        flip = vm.dot(ng, rays.d) > 0.0
+        ng = jnp.where(flip[:, None], -ng, ng)
+        # shading normal flips with its geometric side
+        flip_s = vm.dot(ns, rays.d) > 0.0
+        ns = jnp.where(flip_s[:, None], -ns, ns)
+    else:
+        flip = jnp.zeros(hit.t.shape, bool)
+
+    # tangent frame: Gram-Schmidt dpdu against ns; fallback to branchless ONB
+    t_fallback, _ = vm.coordinate_system(ns)
+    t_raw = jnp.where(degenerate[:, None], t_fallback, dpdu)
+    t_proj = t_raw - ns * vm.dot(t_raw, ns)[:, None]
+    tiny = vm.length_sqr(t_proj) < 1e-16
+    t_final = vm.normalize(jnp.where(tiny[:, None], t_fallback, t_proj))
+    s_final = vm.cross(ns, t_final)
+
+    return SurfaceInteraction(
+        valid=hit.tri >= 0, p=p, t=hit.t, ng=ng, ns=ns, uv=uv,
+        frame_t=t_final, frame_s=s_final,
+        bary=jnp.stack([u, v], -1),
+        mat_id=take(geom.mat_id), light_id=take(geom.light_id), tri=hit.tri,
+        wi=-rays.d, flipped=flip)
+
+
+def offset_ray_origin(p: Array, n: Array, d: Array, eps: float = 1e-4) -> Array:
+    """Offset a secondary-ray origin along the geometric normal to avoid
+    self-intersection (scale-aware epsilon)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1.0)
+    off = (eps * scale)[:, None] * jnp.where(vm.dot(d, n)[:, None] >= 0, n, -n)
+    return p + off

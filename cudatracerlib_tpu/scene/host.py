@@ -1,0 +1,405 @@
+"""Host-side scene management: build SoA device tables from meshes/materials/lights.
+
+TPU-native counterpart of the reference's ``DynamicScene``
+(`Engine/DynamicScene.h:40`): owns the host object graph (nodes = mesh
+instances + material + optional emitter), and `build()` emits the flattened
+``SceneData`` pytree — the analogue of `DynamicScene::UpdateScene` +
+`getKernelSceneData` (`Engine/DynamicScene.cpp:480-589`). Instead of
+incremental buffer invalidation ranges, updates are functional: mutate the
+host graph, call `build()` again; unchanged BLAS/compiled assets are cached.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import bvh as bvhmod
+from . import schema, sensors, shapes
+from ..core import spectrum
+from ..ops import traversal
+
+# ---------------------------------------------------------------------------
+# Host material / texture specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TextureSpec:
+    tex_type: int = schema.TEX_CONSTANT
+    value: tuple = (1.0, 1.0, 1.0)      # constant / color0
+    value1: tuple = (0.0, 0.0, 0.0)     # checkerboard color1 / bilerp corners
+    uv_scale: tuple = (1.0, 1.0)
+    uv_offset: tuple = (0.0, 0.0)
+    image: Optional[np.ndarray] = None  # (H, W, 3) float32 linear RGB
+
+
+@dataclass
+class MaterialSpec:
+    """Host-side BSDF description; packed into MaterialTable rows by build().
+
+    Parameter conventions follow the Mitsuba BSDF set the reference implements
+    (SceneTypes/BSDF_Simple.h / BSDF_Complex.h).
+    """
+    bsdf_type: int = schema.BSDF_DIFFUSE
+    reflectance: tuple = (0.5, 0.5, 0.5)    # c0: albedo / specular reflectance
+    transmittance: tuple = (1.0, 1.0, 1.0)  # c1: spec transmittance / diffuse of plastic&phong
+    eta: float = 1.5                         # int_ior/ext_ior (dielectrics, plastic, coating)
+    alpha: float = 0.1                       # roughness (isotropic default)
+    alpha_v: Optional[float] = None          # anisotropic second roughness
+    distribution: int = 1                    # microfacet type (core.microfacet: 0=beckmann,1=ggx,2=phong)
+    eta_c: tuple = (0.2, 0.9, 1.4)           # conductor spectral eta
+    k_c: tuple = (3.9, 2.5, 2.1)             # conductor spectral k
+    exponent: float = 30.0                   # phong exponent
+    nonlinear: bool = False                  # plastic
+    sigma_s: tuple = (0.0, 0.0, 0.0)         # hk scattering
+    sigma_a: tuple = (0.0, 0.0, 0.0)         # hk / coating absorption
+    phase_g: float = 0.0                     # hk phase
+    thickness: float = 1.0                   # hk / coating layer thickness
+    blend_weight: float = 0.5                # blend
+    nested: Optional["MaterialSpec"] = None  # coating/blend inner bsdf
+    nested2: Optional["MaterialSpec"] = None  # blend second bsdf
+    # texture slots (None = use the constant tuples above)
+    tex_reflectance: Optional[TextureSpec] = None
+    tex_transmittance: Optional[TextureSpec] = None
+    tex_alpha_mask: Optional[TextureSpec] = None
+    tex_bump: Optional[TextureSpec] = None
+    two_sided: bool = True
+
+
+@dataclass
+class _Node:
+    mesh: shapes.TriMesh          # object-space mesh
+    to_world: np.ndarray          # (4, 4)
+    material: int                 # material row
+    emission: Optional[tuple]     # area-light radiance or None
+    name: str = ""
+
+
+def _pack_material(spec: MaterialSpec, mats: list, texs: list) -> int:
+    """Append spec (and nested specs) to the tables; returns the row index."""
+    def tex_id(t: Optional[TextureSpec]) -> int:
+        if t is None:
+            return -1
+        texs.append(t)
+        return len(texs) - 1
+
+    nested_id = _pack_material(spec.nested, mats, texs) if spec.nested else -1
+    nested2_id = _pack_material(spec.nested2, mats, texs) if spec.nested2 else -1
+    p = np.zeros(schema.N_MAT_PARAMS, np.float32)
+    p[0:3] = spec.reflectance
+    p[3] = spec.alpha
+    p[4] = spec.eta
+    p[5] = spec.distribution
+    p[6] = spec.alpha
+    p[7] = spec.alpha_v if spec.alpha_v is not None else spec.alpha
+    p[8:11] = spec.eta_c
+    p[11:14] = spec.k_c
+    p[14] = 1.0 if spec.nonlinear else 0.0
+    p[15] = spec.exponent
+    p[16] = spec.phase_g
+    p[17] = spec.thickness
+    p[18] = spec.blend_weight
+    p[19:22] = spec.transmittance
+    p[22] = 1.0 if spec.two_sided else 0.0
+    # sigma_s/sigma_a for hk share the color slots (c0/c1) by convention
+    row = dict(mat_type=spec.bsdf_type, params=p,
+               tex=np.array([tex_id(spec.tex_reflectance), tex_id(spec.tex_transmittance),
+                             tex_id(spec.tex_alpha_mask), tex_id(spec.tex_bump)], np.int32),
+               nested=nested_id, nested2=nested2_id)
+    mats.append(row)
+    return len(mats) - 1
+
+
+class DynamicScene:
+    """Mutable host scene; `build()` produces the immutable device SceneData."""
+
+    def __init__(self):
+        self._nodes: list[_Node] = []
+        self._materials: list[dict] = []
+        self._textures: list[TextureSpec] = []
+        self._lights: list[dict] = []       # non-area lights
+        self._env: Optional[dict] = None
+        self._sensor: Optional[schema.SensorData] = None
+
+    # -- materials ---------------------------------------------------------
+    def add_material(self, spec: MaterialSpec) -> int:
+        return _pack_material(spec, self._materials, self._textures)
+
+    # -- geometry ----------------------------------------------------------
+    def create_node(self, mesh: shapes.TriMesh, material: int,
+                    to_world: Optional[np.ndarray] = None,
+                    emission: Optional[tuple] = None, name: str = "") -> int:
+        if mesh.n is None:
+            mesh = shapes.compute_vertex_normals(mesh)
+        if to_world is None:
+            to_world = np.eye(4, dtype=np.float32)
+        self._nodes.append(_Node(mesh, np.asarray(to_world, np.float32),
+                                 material, emission, name))
+        return len(self._nodes) - 1
+
+    def set_node_transform(self, node_id: int, to_world: np.ndarray):
+        self._nodes[node_id].to_world = np.asarray(to_world, np.float32)
+
+    def remove_node(self, node_id: int):
+        self._nodes[node_id] = None  # tombstone; compacted at build
+
+    # -- lights ------------------------------------------------------------
+    def add_point_light(self, position, intensity):
+        p = np.zeros(schema.N_LIGHT_PARAMS, np.float32)
+        p[0:3] = position
+        p[3:6] = intensity
+        self._lights.append(dict(light_type=schema.LIGHT_POINT, params=p))
+
+    def add_distant_light(self, direction, radiance):
+        p = np.zeros(schema.N_LIGHT_PARAMS, np.float32)
+        d = np.asarray(direction, np.float32)
+        p[0:3] = d / np.linalg.norm(d)
+        p[3:6] = radiance
+        self._lights.append(dict(light_type=schema.LIGHT_DISTANT, params=p))
+
+    def add_spot_light(self, position, direction, intensity,
+                       cutoff_deg: float = 20.0, beam_deg: Optional[float] = None):
+        p = np.zeros(schema.N_LIGHT_PARAMS, np.float32)
+        p[0:3] = position
+        p[3:6] = intensity
+        d = np.asarray(direction, np.float32)
+        p[8:11] = d / np.linalg.norm(d)
+        p[6] = np.cos(np.deg2rad(cutoff_deg))
+        p[7] = np.cos(np.deg2rad(beam_deg if beam_deg is not None else cutoff_deg * 0.75))
+        self._lights.append(dict(light_type=schema.LIGHT_SPOT, params=p))
+
+    def set_environment(self, image: np.ndarray, scale=(1.0, 1.0, 1.0),
+                        to_world: Optional[np.ndarray] = None):
+        self._env = dict(image=np.asarray(image, np.float32), scale=scale,
+                         to_world=np.eye(4, dtype=np.float32) if to_world is None else
+                         np.asarray(to_world, np.float32))
+
+    # -- sensor ------------------------------------------------------------
+    def set_sensor(self, sensor: schema.SensorData):
+        self._sensor = sensor
+
+    # -- build -------------------------------------------------------------
+    def build(self) -> schema.SceneData:
+        nodes = [n for n in self._nodes if n is not None]
+        assert nodes, "scene has no geometry"
+        assert self._sensor is not None, "scene has no sensor"
+
+        v0s, v1s, v2s = [], [], []
+        n0s, n1s, n2s, uv0s, uv1s, uv2s = [], [], [], [], [], []
+        mat_ids, light_ids, node_ids = [], [], []
+        area_lights = []  # (light_row_placeholder, tri_first, tri_count, radiance)
+
+        tri_cursor = 0
+        n_other_lights = len(self._lights)
+        for node_idx, node in enumerate(nodes):
+            m = node.mesh.transformed(node.to_world)
+            f = m.f
+            v0s.append(m.v[f[:, 0]]); v1s.append(m.v[f[:, 1]]); v2s.append(m.v[f[:, 2]])
+            n0s.append(m.n[f[:, 0]]); n1s.append(m.n[f[:, 1]]); n2s.append(m.n[f[:, 2]])
+            uv = m.uv if m.uv is not None else np.zeros((m.v.shape[0], 2), np.float32)
+            uv0s.append(uv[f[:, 0]]); uv1s.append(uv[f[:, 1]]); uv2s.append(uv[f[:, 2]])
+            nf = f.shape[0]
+            mat_ids.append(np.full(nf, node.material, np.int32))
+            node_ids.append(np.full(nf, node_idx, np.int32))
+            if node.emission is not None:
+                light_row = n_other_lights + len(area_lights)
+                light_ids.append(np.full(nf, light_row, np.int32))
+                area_lights.append(dict(first=tri_cursor, count=nf,
+                                        radiance=np.asarray(node.emission, np.float32)))
+            else:
+                light_ids.append(np.full(nf, -1, np.int32))
+            tri_cursor += nf
+
+        v0 = np.concatenate(v0s); v1 = np.concatenate(v1s); v2 = np.concatenate(v2s)
+        T = v0.shape[0]
+        b = bvhmod.build_bvh(v0, v1, v2)
+        tris = traversal.pack_tris(v0, v1, v2)
+        ng = np.cross(v1 - v0, v2 - v0)
+        ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+
+        geom = schema.GeometryTable(
+            tris=jnp.asarray(tris), nodes=jnp.asarray(b.nodes),
+            tri_order=jnp.asarray(b.tri_order),
+            n0=jnp.asarray(np.concatenate(n0s), jnp.float32),
+            n1=jnp.asarray(np.concatenate(n1s), jnp.float32),
+            n2=jnp.asarray(np.concatenate(n2s), jnp.float32),
+            uv0=jnp.asarray(np.concatenate(uv0s), jnp.float32),
+            uv1=jnp.asarray(np.concatenate(uv1s), jnp.float32),
+            uv2=jnp.asarray(np.concatenate(uv2s), jnp.float32),
+            ng=jnp.asarray(ng, jnp.float32),
+            mat_id=jnp.asarray(np.concatenate(mat_ids)),
+            light_id=jnp.asarray(np.concatenate(light_ids)),
+            node_id=jnp.asarray(np.concatenate(node_ids)))
+
+        materials = self._build_materials()
+        textures = self._build_textures()
+        lights = self._build_lights(area_lights, v0, v1, v2, b)
+        media = _empty_media()
+
+        return schema.SceneData(
+            geom=geom, materials=materials, textures=textures, lights=lights,
+            sensor=self._sensor, media=media,
+            world_lo=jnp.asarray(b.world_lo), world_hi=jnp.asarray(b.world_hi))
+
+    def _build_materials(self) -> schema.MaterialTable:
+        mats = self._materials if self._materials else [dict(
+            mat_type=schema.BSDF_DIFFUSE,
+            params=np.zeros(schema.N_MAT_PARAMS, np.float32),
+            tex=np.full(schema.N_MAT_TEX, -1, np.int32), nested=-1, nested2=-1)]
+        return schema.MaterialTable(
+            mat_type=jnp.asarray([m["mat_type"] for m in mats], jnp.int32),
+            params=jnp.asarray(np.stack([m["params"] for m in mats])),
+            tex=jnp.asarray(np.stack([m["tex"] for m in mats])),
+            nested=jnp.asarray([m["nested"] for m in mats], jnp.int32),
+            nested2=jnp.asarray([m["nested2"] for m in mats], jnp.int32))
+
+    def _build_textures(self) -> schema.TextureTable:
+        texs = self._textures
+        X = max(len(texs), 1)
+        tex_type = np.zeros(X, np.int32)
+        params = np.zeros((X, schema.N_TEX_PARAMS), np.float32)
+        image_id = np.full(X, -1, np.int32)
+        images = []
+        for i, t in enumerate(texs):
+            tex_type[i] = t.tex_type
+            params[i, 0:3] = t.value
+            params[i, 3:6] = t.value1
+            params[i, 6:8] = t.uv_scale
+            params[i, 8:10] = t.uv_offset
+            if t.image is not None:
+                images.append(np.asarray(t.image, np.float32))
+                image_id[i] = len(images) - 1
+        MAX_MIPS = 1
+        if images:
+            offs, ws, hs, pool = [], [], [], []
+            cursor = 0
+            for img in images:
+                h, w = img.shape[:2]
+                offs.append([cursor]); ws.append([w]); hs.append([h])
+                pool.append(img.reshape(-1, 3))
+                cursor += w * h
+            texels = np.concatenate(pool)
+            img_offset = np.asarray(offs, np.int32)
+            img_w = np.asarray(ws, np.int32)
+            img_h = np.asarray(hs, np.int32)
+            img_nmips = np.ones(len(images), np.int32)
+        else:
+            texels = np.zeros((1, 3), np.float32)
+            img_offset = np.zeros((1, MAX_MIPS), np.int32)
+            img_w = np.ones((1, MAX_MIPS), np.int32)
+            img_h = np.ones((1, MAX_MIPS), np.int32)
+            img_nmips = np.ones(1, np.int32)
+        return schema.TextureTable(
+            tex_type=jnp.asarray(tex_type), params=jnp.asarray(params),
+            image_id=jnp.asarray(image_id), img_offset=jnp.asarray(img_offset),
+            img_w=jnp.asarray(img_w), img_h=jnp.asarray(img_h),
+            img_nmips=jnp.asarray(img_nmips), texels=jnp.asarray(texels))
+
+    def _build_lights(self, area_lights, v0, v1, v2, b: bvhmod.BVH) -> schema.LightTable:
+        world_radius = 0.5 * float(np.linalg.norm(b.world_hi - b.world_lo)) + 1e-3
+        rows = list(self._lights)
+        al_tris, al_cdf, al_first, al_count = [], [], [], []
+        for al in area_lights:
+            p = np.zeros(schema.N_LIGHT_PARAMS, np.float32)
+            p[3:6] = al["radiance"]
+            first, count = al["first"], al["count"]
+            ids = np.arange(first, first + count, dtype=np.int32)
+            areas = 0.5 * np.linalg.norm(
+                np.cross(v1[ids] - v0[ids], v2[ids] - v0[ids]), axis=-1)
+            total = max(float(areas.sum()), 1e-20)
+            cdf = np.cumsum(areas) / total
+            p[6] = total  # total area
+            al_first.append(sum(len(x) for x in al_tris))
+            al_count.append(count)
+            al_tris.append(ids)
+            al_cdf.append(cdf.astype(np.float32))
+            rows.append(dict(light_type=schema.LIGHT_DIFFUSE, params=p))
+        if self._env is not None:
+            p = np.zeros(schema.N_LIGHT_PARAMS, np.float32)
+            p[3:6] = self._env["scale"]
+            p[7] = world_radius
+            rows.append(dict(light_type=schema.LIGHT_INFINITE, params=p))
+
+        L = max(len(rows), 1)
+        light_type = np.zeros(L, np.int32)
+        params = np.zeros((L, schema.N_LIGHT_PARAMS), np.float32)
+        powers = np.zeros(L, np.float32)
+        lum_w = np.array([0.212671, 0.715160, 0.072169], np.float32)
+        for i, r in enumerate(rows):
+            light_type[i] = r["light_type"]
+            params[i] = r["params"]
+            lum = float(r["params"][3:6] @ lum_w)
+            t = r["light_type"]
+            if t == schema.LIGHT_POINT:
+                powers[i] = lum * 4 * np.pi
+            elif t == schema.LIGHT_DIFFUSE:
+                powers[i] = lum * np.pi * r["params"][6]
+            elif t == schema.LIGHT_DISTANT:
+                powers[i] = lum * np.pi * world_radius ** 2
+                params[i, 7] = world_radius
+            elif t == schema.LIGHT_SPOT:
+                powers[i] = lum * 2 * np.pi * (1 - r["params"][6])
+            elif t == schema.LIGHT_INFINITE:
+                env_lum = float(np.mean(self._env["image"] @ np.array(
+                    [0.212671, 0.715160, 0.072169], np.float32)))
+                powers[i] = env_lum * lum * 4 * np.pi * np.pi * world_radius ** 2
+        if not rows:
+            powers[0] = 1.0
+        cdf = np.cumsum(powers)
+        cdf = cdf / max(cdf[-1], 1e-20)
+
+        if al_tris:
+            al_tris_arr = np.concatenate(al_tris)
+            al_cdf_arr = np.concatenate(al_cdf)
+        else:
+            al_tris_arr = np.zeros(1, np.int32)
+            al_cdf_arr = np.ones(1, np.float32)
+        al_first_arr = np.zeros(L, np.int32)
+        al_count_arr = np.zeros(L, np.int32)
+        ai = 0
+        for i, r in enumerate(rows):
+            if r["light_type"] == schema.LIGHT_DIFFUSE:
+                al_first_arr[i] = al_first[ai]
+                al_count_arr[i] = al_count[ai]
+                ai += 1
+
+        if self._env is not None:
+            env = self._env["image"] * np.asarray(self._env["scale"], np.float32)
+            env_lum = env @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+            He, We = env.shape[:2]
+            # sin(theta) weighting for the equirectangular solid-angle measure
+            sin_t = np.sin((np.arange(He) + 0.5) / He * np.pi)[:, None].astype(np.float32)
+            w = env_lum * sin_t + 1e-12
+            row_w = w.sum(1)
+            cdf_rows = np.cumsum(row_w) / row_w.sum()
+            cdf_cols = np.cumsum(w, axis=1) / w.sum(1, keepdims=True)
+            env_to_world = self._env["to_world"]
+        else:
+            env = np.zeros((1, 1, 3), np.float32)
+            cdf_rows = np.ones(1, np.float32)
+            cdf_cols = np.ones((1, 1), np.float32)
+            env_to_world = np.eye(4, dtype=np.float32)
+
+        return schema.LightTable(
+            light_type=jnp.asarray(light_type), params=jnp.asarray(params),
+            power_cdf=jnp.asarray(cdf, jnp.float32),
+            al_tris=jnp.asarray(al_tris_arr), al_cdf=jnp.asarray(al_cdf_arr),
+            al_first=jnp.asarray(al_first_arr), al_count=jnp.asarray(al_count_arr),
+            env_map=jnp.asarray(env), env_cdf_rows=jnp.asarray(cdf_rows, jnp.float32),
+            env_cdf_cols=jnp.asarray(cdf_cols, jnp.float32),
+            env_to_world=jnp.asarray(env_to_world),
+            env_world_to=jnp.asarray(np.linalg.inv(env_to_world)))
+
+
+def _empty_media() -> schema.MediumTable:
+    return schema.MediumTable(
+        med_type=jnp.full((0,), 0, jnp.int32),
+        params=jnp.zeros((0, 24), jnp.float32),
+        to_world=jnp.zeros((0, 4, 4), jnp.float32),
+        world_to=jnp.zeros((0, 4, 4), jnp.float32),
+        grid_offset=jnp.zeros((0, 3), jnp.int32),
+        grid_dim=jnp.zeros((0, 3), jnp.int32),
+        voxels=jnp.zeros((1,), jnp.float32))

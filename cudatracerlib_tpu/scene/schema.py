@@ -1,0 +1,173 @@
+"""Device-side scene representation: a pytree of SoA arrays.
+
+TPU-native counterpart of the reference's ``KernelDynamicScene``
+(`Engine/KernelDynamicScene.h:26-54`) + the ``CudaVirtualAggregate`` tagged
+unions (`Base/VirtualFuncType.h:113`): every polymorphic family (BSDF, light,
+sensor, texture, ...) becomes a table with a type-id column and a fixed-width
+parameter matrix, evaluated with masked/branchless dispatch instead of vtables.
+The whole SceneData pytree is closed over by jitted render functions — the
+analogue of the reference's ``__constant__ g_SceneData`` upload
+(`Kernel/TraceHelper.h:11-27`), with XLA managing residency in HBM.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# Enums (type-id columns)
+# ---------------------------------------------------------------------------
+
+# BSDF types (reference: SceneTypes/BSDF_Simple.h + BSDF_Complex.h)
+BSDF_DIFFUSE = 0
+BSDF_ROUGHDIFFUSE = 1
+BSDF_DIELECTRIC = 2
+BSDF_THINDIELECTRIC = 3
+BSDF_ROUGHDIELECTRIC = 4
+BSDF_CONDUCTOR = 5
+BSDF_ROUGHCONDUCTOR = 6
+BSDF_PLASTIC = 7
+BSDF_ROUGHPLASTIC = 8
+BSDF_PHONG = 9
+BSDF_WARD = 10
+BSDF_HK = 11
+BSDF_COATING = 12
+BSDF_ROUGHCOATING = 13
+BSDF_BLEND = 14
+BSDF_NULL = 15
+
+# Light types (reference: SceneTypes/Light.h)
+LIGHT_POINT = 0
+LIGHT_DIFFUSE = 1     # area light
+LIGHT_DISTANT = 2
+LIGHT_SPOT = 3
+LIGHT_INFINITE = 4    # environment map
+
+# Sensor types (reference: SceneTypes/Sensor.h)
+SENSOR_SPHERICAL = 0
+SENSOR_PERSPECTIVE = 1
+SENSOR_THINLENS = 2
+SENSOR_ORTHOGRAPHIC = 3
+SENSOR_TELECENTRIC = 4
+
+# Texture types (reference: SceneTypes/Texture.h)
+TEX_CONSTANT = 0
+TEX_CHECKERBOARD = 1
+TEX_BILERP = 2
+TEX_IMAGE = 3
+TEX_UV = 4
+TEX_WIREFRAME = 5
+TEX_EXTRADATA = 6
+
+# Microfacet distribution sub-type lives in material params (core.microfacet)
+
+N_MAT_PARAMS = 24
+N_MAT_TEX = 4      # texture slots: 0=reflectance/specular, 1=second albedo/transmittance, 2=alpha-mask, 3=bump/normal
+N_LIGHT_PARAMS = 24
+N_TEX_PARAMS = 12
+
+
+class GeometryTable(NamedTuple):
+    """World-space triangle soup + BVH (instances flattened at build time)."""
+    tris: Array       # (T, 12) f32 intersection layout [v0, e1, e2, pad]
+    nodes: Array      # (N, 16) f32 packed BVH nodes
+    tri_order: Array  # (T,) i32
+    n0: Array         # (T, 3) f32 vertex shading normals
+    n1: Array
+    n2: Array
+    uv0: Array        # (T, 2) f32
+    uv1: Array
+    uv2: Array
+    ng: Array         # (T, 3) f32 geometric normal (normalized e1 x e2)
+    mat_id: Array     # (T,) i32
+    light_id: Array   # (T,) i32 area-light index, -1 if not emissive
+    node_id: Array    # (T,) i32 scene-graph node (instance) that owns the tri
+
+
+class MaterialTable(NamedTuple):
+    """BSDF aggregate: type id + params + texture slots + optional nested bsdf.
+
+    Param layout per type is documented in models/bsdf.py next to each
+    implementation (mirrors the factor lists of SceneTypes/BSDF_Simple.h).
+    """
+    mat_type: Array    # (M,) i32
+    params: Array      # (M, N_MAT_PARAMS) f32
+    tex: Array         # (M, N_MAT_TEX) i32 texture table ids (-1 = none)
+    nested: Array      # (M,) i32 nested simple-bsdf row for coating/blend (-1)
+    nested2: Array     # (M,) i32 second nested row for blend (-1)
+
+
+class TextureTable(NamedTuple):
+    """Texture aggregate + image atlas.
+
+    Images live in one flat (P, 3) texel pool; per-image rows give
+    (offset, width, height, wrap_mode). Mip chains append levels to the pool.
+    """
+    tex_type: Array    # (X,) i32
+    params: Array      # (X, N_TEX_PARAMS) f32
+    image_id: Array    # (X,) i32 row into image tables below (-1 = none)
+    img_offset: Array  # (I, MAX_MIPS) i32 texel offset of each mip level
+    img_w: Array       # (I, MAX_MIPS) i32
+    img_h: Array       # (I, MAX_MIPS) i32
+    img_nmips: Array   # (I,) i32
+    texels: Array      # (P, 3) f32 linear RGB texel pool
+
+
+class LightTable(NamedTuple):
+    light_type: Array  # (L,) i32
+    params: Array      # (L, N_LIGHT_PARAMS) f32
+    power_cdf: Array   # (L,) f32 normalized CDF over emitter power (inclusive)
+    # Area-light shape sets: flat triangle list + per-light ranges + area CDF
+    al_tris: Array     # (AT,) i32 triangle ids
+    al_cdf: Array      # (AT,) f32 per-light inclusive CDF over tri area
+    al_first: Array    # (L,) i32 offset into al_tris
+    al_count: Array    # (L,) i32
+    # Environment map (1x1 black if absent)
+    env_map: Array     # (He, We, 3) f32 radiance
+    env_cdf_rows: Array  # (He,) f32 inclusive CDF over row luminance
+    env_cdf_cols: Array  # (He, We) f32 inclusive CDF within each row
+    env_to_world: Array  # (4, 4) rotation of the env sphere
+    env_world_to: Array  # (4, 4) inverse
+
+
+class SensorData(NamedTuple):
+    sensor_type: Array  # () i32
+    to_world: Array     # (4, 4) f32 camera-to-world
+    to_world_inv: Array  # (4, 4)
+    params: Array       # (16,) f32: [fov_y_rad, near, far, aperture_r,
+    #                     focus_dist, film_w, film_h, ortho_scale_x, ortho_scale_y, ...]
+
+
+class MediumTable(NamedTuple):
+    """Participating media (reference: SceneTypes/Volumes.h). Filled in by the
+    volume stage; a scene always carries an (empty) table for static shapes."""
+    med_type: Array    # (V,) i32  0=homogeneous, 1=grid
+    params: Array      # (V, 24) f32: sigma_a, sigma_s, Le, phase params, ...
+    to_world: Array    # (V, 4, 4)
+    world_to: Array    # (V, 4, 4)
+    grid_offset: Array  # (V, 3) i32 offsets into the voxel pool for a/s/le
+    grid_dim: Array    # (V, 3) i32
+    voxels: Array      # (VP,) f32 flat voxel pool
+
+
+class SceneData(NamedTuple):
+    """The full device scene view, closed over by jitted integrators."""
+    geom: GeometryTable
+    materials: MaterialTable
+    textures: TextureTable
+    lights: LightTable
+    sensor: SensorData
+    media: MediumTable
+    world_lo: Array    # (3,)
+    world_hi: Array    # (3,)
+
+    @property
+    def num_tris(self) -> int:
+        return self.geom.tris.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.lights.light_type.shape[0]
