@@ -67,10 +67,15 @@ def reflect(w: Array, n: Array) -> Array:
 
 
 def refract(w: Array, n: Array, eta: Array, cos_theta_t: Array) -> Array:
-    """Refract ``w`` about ``n``. ``eta`` is eta_i/eta_t for this crossing; the
-    caller supplies ``cos_theta_t`` (signed, from fresnel_dielectric)."""
-    scale = -(jnp.where(cos_theta_t < 0, 1.0 / eta, eta))
-    return n * (dot(w, n) * scale + cos_theta_t)[..., None] - w * scale[..., None]
+    """Refract direction ``w`` (pointing away from the surface) about ``n``.
+
+    ``eta`` is the material's relative IOR (int/ext); ``cos_theta_t`` is the
+    signed transmitted cosine from ``fresnel_dielectric_ext`` (opposite sign of
+    ``dot(w, n)``). Derivation: wo = -eta_r*w + (eta_r*dot(w,n) + cos_theta_t)*n
+    with eta_r = eta_i/eta_t for this crossing.
+    """
+    eta_r = jnp.where(cos_theta_t < 0, 1.0 / eta, eta)
+    return n * (eta_r * dot(w, n) + cos_theta_t)[..., None] - w * eta_r[..., None]
 
 
 def coordinate_system(n: Array):

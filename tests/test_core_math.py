@@ -23,6 +23,23 @@ class TestVecmath:
         r = vm.reflect(w, n)
         np.testing.assert_allclose(r, vm.normalize(jnp.array([[-1.0, 0.0, 1.0]])), atol=1e-6)
 
+    def test_refract_snell(self):
+        # entering glass at 45 deg: check Snell's law and tangential flip
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        wi = vm.normalize(jnp.array([[1.0, 0.0, 1.0]]))
+        F, ct = fresnel.fresnel_dielectric_ext(wi[..., 2], 1.5)
+        wo = vm.refract(wi, n, 1.5, ct)
+        np.testing.assert_allclose(vm.length(wo), 1.0, atol=1e-5)
+        sin_i = np.sqrt(1 - float(wi[0, 2]) ** 2)
+        sin_t = np.sqrt(float(wo[0, 0]) ** 2 + float(wo[0, 1]) ** 2)
+        np.testing.assert_allclose(sin_t, sin_i / 1.5, atol=1e-5)
+        assert float(wo[0, 0]) < 0  # tangential component flips
+        assert float(wo[0, 2]) < 0  # crosses the interface
+        # exiting: reverse must recover the original direction (reciprocity)
+        F2, ct2 = fresnel.fresnel_dielectric_ext(wo[..., 2], 1.5)
+        wi2 = vm.refract(wo, n, 1.5, ct2)
+        np.testing.assert_allclose(np.asarray(wi2), np.asarray(wi), atol=1e-5)
+
     def test_coordinate_system_orthonormal(self):
         n = vm.normalize(jnp.asarray(np.random.default_rng(2).normal(size=(200, 3)), jnp.float32))
         t, s = vm.coordinate_system(n)
