@@ -21,7 +21,7 @@ from ..core import mis
 from ..core import records
 from ..core import rng as rngmod
 from ..core import vecmath as vm
-from ..ops import shading, traversal
+from ..ops import shading, traversal, traversal8
 from ..scene import schema
 from . import bsdf as bsdfmod
 from . import film as filmmod
@@ -49,7 +49,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         L, beta, active, prev_pdf, prev_delta, cur, state = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
-        hit = traversal.intersect_bvh(geom.nodes, geom.tris, geom.tri_order, trace_rays)
+        hit = traversal8.intersect_scene(geom, trace_rays)
         miss = active & ~hit.valid
 
         # --- escaped rays: environment ---
@@ -91,8 +91,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 tmin=jnp.zeros(B),
                 tmax=jnp.where(hit_l & ((lob.pdf + vm.length_sqr(lob.f)) > 0),
                                ed.dist * 0.999, 0.0))
-            occluded = traversal.intersect_bvh(geom.nodes, geom.tris, geom.tri_order,
-                                               shadow, any_hit=True).valid
+            occluded = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, lob.pdf))
             contrib = beta * lob.f * ed.radiance_over_pdf * w_nee[:, None]
             L = L + jnp.where((hit_l & ~occluded)[:, None], contrib, 0.0)

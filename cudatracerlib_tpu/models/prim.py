@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath as vm
 from ..scene import schema
-from ..ops import shading, traversal
+from ..ops import shading, traversal, traversal8
 from . import film as filmmod
 from . import tracer
 
@@ -46,8 +46,7 @@ class PrimTracer(tracer.TracerBase):
     def _debug_lane(self, pixel_idx):
         rays, px, py, state, wt = tracer.gen_camera_rays(
             self.scene, pixel_idx, 0, 0, self.width, self.height)
-        hit = traversal.intersect_bvh(self.scene.geom.nodes, self.scene.geom.tris,
-                                      self.scene.geom.tri_order, rays)
+        hit = traversal8.intersect_scene(self.scene.geom, rays)
         si = shading.fill_dg(self.scene.geom, rays, hit)
         return dict(ray_o=rays.o, ray_d=rays.d, t=hit.t, tri=hit.tri,
                     p=si.p, ns=si.ns, uv=si.uv, mat=si.mat_id)
@@ -57,8 +56,7 @@ def _prim_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                draw_mode: int, w: int, h: int) -> filmmod.Film:
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
-    hit = traversal.intersect_bvh(scene.geom.nodes, scene.geom.tris,
-                                  scene.geom.tri_order, rays)
+    hit = traversal8.intersect_scene(scene.geom, rays)
     si = shading.fill_dg(scene.geom, rays, hit)
     val = _aov(scene, rays, hit, si, draw_mode)
     val = jnp.where(si.valid[:, None], val, 0.0)

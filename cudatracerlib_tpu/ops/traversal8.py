@@ -1,0 +1,173 @@
+"""Wide (8-ary) BVH traversal tuned to TPU gather/VPU characteristics.
+
+Design, driven by microbenchmarks on v5e:
+- A vector gather costs ~1 index-fetch regardless of row width (up to 128 f32 /
+  512B), so the acceleration structure uses 128-float "fat rows" (scene/bvh8.py):
+  a node row carries 8 child AABBs + links; a leaf row carries up to 12 whole
+  triangles. One gather per traversal step fetches everything the step needs.
+- The gathered (B, 128) block is immediately transposed to (128, B) so that the
+  RAY batch occupies the 128-lane minor dimension: the 8-child slab test and the
+  12-wide Moller-Trumbore run as (8, B)/(12, B) elementwise VPU ops at full lane
+  utilization (slicing the row axis is free on the sublane dimension).
+- The traversal stack is a shift-register of K per-lane int32 scalars updated
+  with selects; a (B, K) scatter inside the loop would copy the whole buffer
+  every iteration (measured ~1.3 ms/step).
+- Stack entries pack (node index << 8 | unvisited-child bitmask) so revisiting
+  a multi-hit node re-gathers and re-tests it instead of sorting children
+  (Ylitie-style compressed traversal order).
+
+Replaces the reference's Aila-Laine persistent-threads megakernel
+(`Kernel/TraceHelper.cu:379-427`) as the production intersector.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .traversal import Hit, Rays, _safe_inv
+
+Array = jax.Array
+
+DONE = -1
+POP = -0x40000000
+STACK_DEPTH = 20
+MAX_ITERS = 4096
+
+
+def _bitcast_i32(x: Array) -> Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("any_hit", "stack_depth", "max_iters"))
+def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
+                   stack_depth: int = STACK_DEPTH,
+                   max_iters: int = MAX_ITERS) -> Hit:
+    B = rays.o.shape[0]
+    inv_d = _safe_inv(rays.d)
+    ox, oy, oz = rays.o[:, 0], rays.o[:, 1], rays.o[:, 2]       # (B,)
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+    dx, dy, dz = rays.d[:, 0], rays.d[:, 1], rays.d[:, 2]
+    n_rows = table.shape[0]
+    inf = jnp.float32(jnp.inf)
+    bit8 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[:, None]   # (8,1)
+
+    def body(state):
+        it, cur, sp, stack, t_best, tri_best, u_best, v_best = state
+        is_node = cur >= 0
+        is_leaf = cur <= -2
+
+        row_idx = jnp.where(is_node, cur >> 8, -2 - cur)
+        row = jnp.take(table, jnp.clip(row_idx, 0, n_rows - 1), axis=0)  # (B,128)
+        rt = row.T                                                        # (128,B)
+
+        # ---------- node interpretation: slab test 8 children (8,B) ----------
+        t0x = (rt[0:8] - ox) * ix
+        t1x = (rt[24:32] - ox) * ix
+        t0y = (rt[8:16] - oy) * iy
+        t1y = (rt[32:40] - oy) * iy
+        t0z = (rt[16:24] - oz) * iz
+        t1z = (rt[40:48] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), rays.tmin))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+        links = _bitcast_i32(rt[48:56])                       # (8,B)
+        mask = cur & 0xFF                                     # (B,)
+        eligible = (tn <= tf) & (links != DONE) & ((mask & bit8) != 0)
+        t_sel = jnp.where(eligible, tn, inf)
+        best_j = jnp.argmin(t_sel, axis=0).astype(jnp.int32)  # (B,)
+        has_child = jnp.isfinite(jnp.min(t_sel, axis=0))
+        # per-lane picks via one-hot select reductions: take_along_axis on the
+        # sublane axis lowers to a full (costly) gather on TPU
+        oh8 = jnp.arange(8, dtype=jnp.int32)[:, None] == best_j
+        link_best = jnp.sum(jnp.where(oh8, links, 0), axis=0)
+        elig_bits = jnp.sum(jnp.where(eligible, bit8, 0), axis=0, dtype=jnp.int32)
+        remaining = elig_bits & ~(jnp.int32(1) << best_j)
+        descend = jnp.where(link_best >= 0, (link_best << 8) | 0xFF, link_best)
+        node_next = jnp.where(has_child, descend, POP)
+        push = is_node & has_child & (remaining != 0)
+        push_val = ((cur >> 8) << 8) | remaining
+
+        # ---------- leaf interpretation: 12-wide Moller-Trumbore (12,B) ------
+        v0x, v0y, v0z = rt[0:12], rt[12:24], rt[24:36]
+        e1x, e1y, e1z = rt[36:48], rt[48:60], rt[60:72]
+        e2x, e2y, e2z = rt[72:84], rt[84:96], rt[96:108]
+        ids = _bitcast_i32(rt[108:120])
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        tri_ok = ((ids != -1) & (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1.0) & (t > rays.tmin) & (t < t_best))
+        t_tri = jnp.where(tri_ok, t, inf)
+        t_hit = jnp.min(t_tri, axis=0)
+        oh12 = jnp.arange(12, dtype=jnp.int32)[:, None] == jnp.argmin(t_tri, axis=0)
+        leaf_hit = is_leaf & jnp.isfinite(t_hit)
+        t_best = jnp.where(leaf_hit, t_hit, t_best)
+        tri_best = jnp.where(leaf_hit, jnp.sum(jnp.where(oh12, ids, 0), axis=0), tri_best)
+        u_best = jnp.where(leaf_hit, jnp.sum(jnp.where(oh12, u, 0.0), axis=0), u_best)
+        v_best = jnp.where(leaf_hit, jnp.sum(jnp.where(oh12, v, 0.0), axis=0), v_best)
+
+        # ---------- combine, push, pop ----------
+        nxt = jnp.where(is_node, node_next,
+                        jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
+        if any_hit:
+            nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+
+        new_stack = [jnp.where(push, push_val, stack[0])]
+        for k in range(1, stack_depth):
+            new_stack.append(jnp.where(push, stack[k - 1], stack[k]))
+        sp = sp + push.astype(jnp.int32)
+
+        want_pop = nxt == POP
+        can_pop = want_pop & (sp > 0)
+        popped = new_stack[0]
+        final_stack = []
+        for k in range(stack_depth - 1):
+            final_stack.append(jnp.where(can_pop, new_stack[k + 1], new_stack[k]))
+        final_stack.append(new_stack[stack_depth - 1])
+        sp = jnp.where(can_pop, sp - 1, sp)
+        cur = jnp.where(want_pop, jnp.where(can_pop, popped, DONE), nxt)
+        return (it + 1, cur, sp, tuple(final_stack), t_best, tri_best, u_best, v_best)
+
+    def cond(state):
+        return (state[0] < max_iters) & jnp.any(state[1] != DONE)
+
+    init = (jnp.int32(0),
+            jnp.full(B, 0xFF, jnp.int32),   # root = node 0, all children unvisited
+            jnp.zeros(B, jnp.int32),
+            tuple(jnp.zeros(B, jnp.int32) for _ in range(stack_depth)),
+            rays.tmax,
+            jnp.full(B, -1, jnp.int32),
+            jnp.zeros(B), jnp.zeros(B))
+    out = jax.lax.while_loop(cond, body, init)
+    return Hit(t=out[4], tri=out[5], u=out[6], v=out[7])
+
+
+def pack_unified(bvh8_nodes, bvh8_leaves):
+    """Concatenate node+leaf rows into one table, remapping leaf links."""
+    import numpy as np
+    n8 = bvh8_nodes.shape[0]
+    nodes = bvh8_nodes.copy()
+    links = nodes[:, 48:56].view(np.int32)
+    leaf = links <= -2
+    links[leaf] = -2 - (n8 + (-2 - links[leaf]))
+    return np.concatenate([nodes, bvh8_leaves], axis=0)
+
+
+def intersect_scene(geom, rays: Rays, any_hit: bool = False) -> Hit:
+    """Production intersector over a GeometryTable (wide fat-row path)."""
+    return intersect_wide(geom.wide, rays, any_hit=any_hit)

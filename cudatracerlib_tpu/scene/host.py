@@ -17,9 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bvh as bvhmod
+from . import bvh8 as bvh8mod
 from . import schema, sensors, shapes
 from ..core import spectrum
-from ..ops import traversal
+from ..ops import traversal, traversal8
 
 # ---------------------------------------------------------------------------
 # Host material / texture specs
@@ -215,14 +216,16 @@ class DynamicScene:
 
         v0 = np.concatenate(v0s); v1 = np.concatenate(v1s); v2 = np.concatenate(v2s)
         T = v0.shape[0]
-        b = bvhmod.build_bvh(v0, v1, v2)
+        b = bvhmod.build_bvh(v0, v1, v2, max_leaf=bvh8mod.LEAF_TRIS)
+        b8 = bvh8mod.collapse_bvh2(b, v0, v1, v2)
+        wide = traversal8.pack_unified(b8.nodes, b8.leaves)
         tris = traversal.pack_tris(v0, v1, v2)
         ng = np.cross(v1 - v0, v2 - v0)
         ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
 
         geom = schema.GeometryTable(
             tris=jnp.asarray(tris), nodes=jnp.asarray(b.nodes),
-            tri_order=jnp.asarray(b.tri_order),
+            tri_order=jnp.asarray(b.tri_order), wide=jnp.asarray(wide),
             n0=jnp.asarray(np.concatenate(n0s), jnp.float32),
             n1=jnp.asarray(np.concatenate(n1s), jnp.float32),
             n2=jnp.asarray(np.concatenate(n2s), jnp.float32),

@@ -73,8 +73,9 @@ N_TEX_PARAMS = 12
 class GeometryTable(NamedTuple):
     """World-space triangle soup + BVH (instances flattened at build time)."""
     tris: Array       # (T, 12) f32 intersection layout [v0, e1, e2, pad]
-    nodes: Array      # (N, 16) f32 packed BVH nodes
+    nodes: Array      # (N, 16) f32 packed 2-wide BVH nodes (reference path)
     tri_order: Array  # (T,) i32
+    wide: Array       # (R, 128) f32 unified 8-wide fat-row BVH (hot path)
     n0: Array         # (T, 3) f32 vertex shading normals
     n1: Array
     n2: Array
