@@ -26,6 +26,8 @@ from ..scene import schema
 from . import bsdf as bsdfmod
 from . import film as filmmod
 from . import lights as lightsmod
+from . import medium as mediummod
+from . import phase as phasemod
 from . import tracer
 
 Array = jax.Array
@@ -33,15 +35,24 @@ Array = jax.Array
 
 def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 max_depth: int = 8, rr_depth: int = 3, use_nee: bool = True,
-                active_types: Sequence[int] = bsdfmod.ALL_TYPES):
-    """Estimate radiance along each lane's camera ray. Returns (L, state)."""
+                active_types: Sequence[int] = bsdfmod.ALL_TYPES,
+                with_media: bool | None = None):
+    """Estimate radiance along each lane's camera ray. Returns (L, state).
+
+    with_media toggles participating-media handling (medium distance sampling
+    per segment, phase-function scattering, transmittance on shadow rays); it
+    defaults to whether the scene carries any volumes, and is static so
+    media-free scenes compile none of it.
+    """
     B = rays.o.shape[0]
     geom = scene.geom
+    if with_media is None:
+        with_media = mediummod.has_media(scene.media)
 
     L = jnp.zeros((B, 3))
     beta = jnp.ones((B, 3))
     active = jnp.ones(B, bool)
-    prev_pdf = jnp.zeros(B)       # BSDF pdf of the ray's generating sample
+    prev_pdf = jnp.zeros(B)       # BSDF/phase pdf of the ray's generating sample
     prev_delta = jnp.ones(B, bool)  # camera rays count as "delta" (weight 1)
     cur = rays
 
@@ -50,7 +61,18 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         hit = traversal8.intersect_scene(geom, trace_rays)
-        miss = active & ~hit.valid
+
+        # --- medium interaction on this segment? ---
+        if with_media:
+            t_seg = jnp.where(hit.valid, hit.t * 0.999, 1e7)
+            ms, state = mediummod.sample_distance(scene.media, cur.o, cur.d,
+                                                  t_seg, state, active)
+            beta = beta * ms.weight
+            med_event = ms.valid
+        else:
+            med_event = jnp.zeros(B, bool)
+
+        miss = active & ~hit.valid & ~med_event
 
         # --- escaped rays: environment ---
         env_le = lightsmod.eval_environment(scene, cur.d)
@@ -64,7 +86,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         # keep true geometric orientation: dielectrics need the signed side,
         # and two-sided opaque materials are mirrored inside the BSDF layer
         si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
-        hit_l = active & hit.valid
+        hit_l = active & hit.valid & ~med_event
 
         # --- emitted radiance at the hit (area lights) with MIS ---
         le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
@@ -80,28 +102,59 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         frame = si.frame()
         wi_local = frame.to_local(si.wi)
 
-        # --- next-event estimation ---
+        # --- next-event estimation (surface and medium vertices jointly) ---
         if use_nee:
-            ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
+            nee_active = hit_l | med_event
+            if with_media:
+                nee_p = jnp.where(med_event[:, None], ms.p, si.p)
+            else:
+                nee_p = si.p
+            ed, state = lightsmod.sample_emitter_direct(scene, nee_p, state)
             wo_local_nee = frame.to_local(ed.d)
             lob = bsdfmod.evaluate(ctx, wi_local, wo_local_nee, active_types)
-            shadow_o = shading.offset_ray_origin(si.p, si.ng, ed.d)
+            if with_media:
+                ph = phasemod.eval_phase(ms.ptype, ms.g, cur.d, ed.d)
+                ph_pdf = phasemod.pdf_phase(ms.ptype, ms.g, cur.d, ed.d)
+                f_nee = jnp.where(med_event[:, None], ph[:, None], lob.f)
+                pdf_fwd = jnp.where(med_event, ph_pdf, lob.pdf)
+            else:
+                f_nee = lob.f
+                pdf_fwd = lob.pdf
+            shadow_o = jnp.where(med_event[:, None], nee_p,
+                                 shading.offset_ray_origin(si.p, si.ng, ed.d)) \
+                if with_media else shading.offset_ray_origin(si.p, si.ng, ed.d)
+            do_shadow = nee_active & ((pdf_fwd + vm.length_sqr(f_nee)) > 0)
             shadow = traversal.Rays(
-                o=shadow_o, d=ed.d,
-                tmin=jnp.zeros(B),
-                tmax=jnp.where(hit_l & ((lob.pdf + vm.length_sqr(lob.f)) > 0),
-                               ed.dist * 0.999, 0.0))
+                o=shadow_o, d=ed.d, tmin=jnp.zeros(B),
+                tmax=jnp.where(do_shadow, ed.dist * 0.999, 0.0))
             occluded = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
-            w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, lob.pdf))
-            contrib = beta * lob.f * ed.radiance_over_pdf * w_nee[:, None]
-            L = L + jnp.where((hit_l & ~occluded)[:, None], contrib, 0.0)
+            w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
+            contrib = beta * f_nee * ed.radiance_over_pdf * w_nee[:, None]
+            if with_media:
+                Tr, state = mediummod.transmittance(scene.media, shadow_o, ed.d,
+                                                    ed.dist * 0.999, state,
+                                                    do_shadow & ~occluded)
+                contrib = contrib * Tr
+            L = L + jnp.where((nee_active & ~occluded)[:, None], contrib, 0.0)
 
-        # --- BSDF sampling: continue the path ---
+        # --- continue the path: BSDF sample (surface) / phase sample (medium) ---
         s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
         wo_world = frame.to_world(s.wo)
         is_delta = (s.sampled_type & records.T_DELTA) != 0
-        beta_next = beta * s.weight
-        alive = hit_l & (jnp.max(jnp.abs(s.weight), axis=-1) > 0) & (depth + 1 < max_depth)
+        weight = s.weight
+        next_pdf = s.pdf
+        new_o = shading.offset_ray_origin(si.p, si.ng, wo_world)
+        if with_media:
+            state, u_ph = rngmod.next_float2(state)
+            wo_ph, w_ph, pdf_ph = phasemod.sample_phase(ms.ptype, ms.g, cur.d, u_ph)
+            wo_world = jnp.where(med_event[:, None], wo_ph, wo_world)
+            weight = jnp.where(med_event[:, None], w_ph[:, None], weight)
+            next_pdf = jnp.where(med_event, pdf_ph, next_pdf)
+            is_delta = jnp.where(med_event, False, is_delta)
+            new_o = jnp.where(med_event[:, None], ms.p, new_o)
+        beta_next = beta * weight
+        cont = hit_l | med_event
+        alive = cont & (jnp.max(jnp.abs(weight), axis=-1) > 0) & (depth + 1 < max_depth)
 
         # --- Russian roulette on throughput ---
         state, u_rr = rngmod.next_float(state)
@@ -112,11 +165,10 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                               beta_next / jnp.maximum(q, 1e-6)[:, None], beta_next)
         alive = alive & survive
 
-        new_o = shading.offset_ray_origin(si.p, si.ng, wo_world)
         nxt = traversal.Rays(o=new_o, d=wo_world,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
-                s.pdf, is_delta, nxt, state)
+                next_pdf, is_delta, nxt, state)
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state)
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)

@@ -123,6 +123,7 @@ class DynamicScene:
         self._textures: list[TextureSpec] = []
         self._lights: list[dict] = []       # non-area lights
         self._env: Optional[dict] = None
+        self._media: list[dict] = []
         self._sensor: Optional[schema.SensorData] = None
 
     # -- materials ---------------------------------------------------------
@@ -177,6 +178,26 @@ class DynamicScene:
         self._env = dict(image=np.asarray(image, np.float32), scale=scale,
                          to_world=np.eye(4, dtype=np.float32) if to_world is None else
                          np.asarray(to_world, np.float32))
+
+    # -- media -------------------------------------------------------------
+    def add_homogeneous_medium(self, sigma_a, sigma_s, to_world,
+                               phase_type: int = 0, phase_g: float = 0.0,
+                               scale: float = 1.0, emission=(0, 0, 0)):
+        """Medium filling the image of the unit cube [0,1]^3 under to_world."""
+        self._media.append(dict(med_type=0, sigma_a=sigma_a, sigma_s=sigma_s,
+                                to_world=np.asarray(to_world, np.float32),
+                                phase_type=phase_type, phase_g=phase_g,
+                                scale=scale, emission=emission, density=None))
+
+    def add_grid_medium(self, density: np.ndarray, sigma_a, sigma_s, to_world,
+                        phase_type: int = 0, phase_g: float = 0.0,
+                        scale: float = 1.0, emission=(0, 0, 0)):
+        """Heterogeneous medium: density (nz, ny, nx) scales sigma_a/sigma_s."""
+        self._media.append(dict(med_type=1, sigma_a=sigma_a, sigma_s=sigma_s,
+                                to_world=np.asarray(to_world, np.float32),
+                                phase_type=phase_type, phase_g=phase_g,
+                                scale=scale, emission=emission,
+                                density=np.asarray(density, np.float32)))
 
     # -- sensor ------------------------------------------------------------
     def set_sensor(self, sensor: schema.SensorData):
@@ -240,7 +261,7 @@ class DynamicScene:
         materials = self._build_materials()
         textures = self._build_textures()
         lights = self._build_lights(area_lights, v0, v1, v2, b)
-        media = _empty_media()
+        media = self._build_media()
 
         return schema.SceneData(
             geom=geom, materials=materials, textures=textures, lights=lights,
@@ -397,7 +418,7 @@ class DynamicScene:
             env_world_to=jnp.asarray(np.linalg.inv(env_to_world)))
 
 
-def _empty_media() -> schema.MediumTable:
+def _empty_media() -> schema.MediumTable:  # kept for tests/tools
     return schema.MediumTable(
         med_type=jnp.full((0,), 0, jnp.int32),
         params=jnp.zeros((0, 24), jnp.float32),
@@ -406,3 +427,47 @@ def _empty_media() -> schema.MediumTable:
         grid_offset=jnp.zeros((0, 3), jnp.int32),
         grid_dim=jnp.zeros((0, 3), jnp.int32),
         voxels=jnp.zeros((1,), jnp.float32))
+
+
+def _build_media_table(media_list) -> schema.MediumTable:
+    V = len(media_list)
+    if V == 0:
+        return _empty_media()
+    med_type = np.zeros(V, np.int32)
+    params = np.zeros((V, 24), np.float32)
+    to_world = np.zeros((V, 4, 4), np.float32)
+    world_to = np.zeros((V, 4, 4), np.float32)
+    grid_offset = np.full((V, 3), -1, np.int32)
+    grid_dim = np.zeros((V, 3), np.int32)
+    voxels = []
+    cursor = 0
+    for i, m in enumerate(media_list):
+        med_type[i] = m["med_type"]
+        params[i, 0:3] = m["sigma_a"]
+        params[i, 3:6] = m["sigma_s"]
+        params[i, 6] = m["phase_type"]
+        params[i, 7] = m["phase_g"]
+        params[i, 8] = m["scale"]
+        params[i, 9:12] = m["emission"]
+        to_world[i] = m["to_world"]
+        world_to[i] = np.linalg.inv(m["to_world"])
+        if m["density"] is not None:
+            d = m["density"]
+            nz, ny, nx = d.shape
+            grid_dim[i] = (nx, ny, nz)
+            grid_offset[i, 0] = cursor
+            voxels.append(d.reshape(-1))
+            cursor += d.size
+    vox = np.concatenate(voxels) if voxels else np.zeros(1, np.float32)
+    return schema.MediumTable(
+        med_type=jnp.asarray(med_type), params=jnp.asarray(params),
+        to_world=jnp.asarray(to_world), world_to=jnp.asarray(world_to),
+        grid_offset=jnp.asarray(grid_offset), grid_dim=jnp.asarray(grid_dim),
+        voxels=jnp.asarray(vox))
+
+
+def _dyn_build_media(self):
+    return _build_media_table(self._media)
+
+
+DynamicScene._build_media = _dyn_build_media
