@@ -1,0 +1,318 @@
+"""Bidirectional path tracer.
+
+Reference: ``Integrators/BDPT.cu`` + ``VCMHelper.h`` — per-pixel light subpath
+of up to NUM_V_PER_PATH=5 vertices kept in registers, camera walk connecting to
+every stored vertex plus emitter sampling and camera splats, with the recursive
+VCM-style dVC/dVCM MIS quantities. TPU-native: the light walk is a statically
+unrolled loop writing SoA vertex arrays (B, 5, ...), the camera walk is a
+second unrolled loop, and all connection shadow rays are batched through the
+wide intersector. MIS follows the recursive partial-weight scheme (balance
+heuristic), covering the s=0 (hit), s=1 (direct sampling), s>=2 (vertex
+connection) and t=1 (camera splat) families.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import records
+from ..core import rng as rngmod
+from ..core import vecmath as vm
+from ..ops import shading, traversal, traversal8
+from ..scene import schema, sensors
+from . import bsdf as bsdfmod
+from . import film as filmmod
+from . import lights as lightsmod
+from . import tracer
+
+Array = jax.Array
+NUM_LIGHT_V = 5
+
+
+def _mis(x):
+    return x  # balance heuristic (exponent 1), like the reference's default
+
+
+class LightVertex(NamedTuple):
+    valid: Array     # (B,)
+    p: Array         # (B,3)
+    ns: Array        # (B,3)
+    ng: Array        # (B,3)
+    ft: Array        # (B,3) frame tangent
+    fs: Array        # (B,3) frame bitangent
+    wi_local: Array  # (B,3) incoming dir (toward previous vertex), local
+    beta: Array      # (B,3) accumulated throughput
+    dvcm: Array      # (B,)
+    dvc: Array       # (B,)
+    mat_id: Array    # (B,)
+    uv: Array        # (B,2)
+
+
+def _emission_pdfs(scene, ed: lightsmod.EmitterDirect):
+    """(direct_pdf_w, emission_pdf_w, cos_at_light) for a sampled NEE record."""
+    ltype = jnp.take(scene.lights.light_type, ed.light_idx)
+    prev = jnp.where(ed.light_idx > 0,
+                     jnp.take(scene.lights.power_cdf, jnp.maximum(ed.light_idx - 1, 0)), 0.0)
+    sel = jnp.maximum(jnp.take(scene.lights.power_cdf, ed.light_idx) - prev, 1e-12)
+    p = jnp.take(scene.lights.params, ed.light_idx, axis=0)
+    cos_l = jnp.where(ed.is_delta, 1.0, jnp.maximum(vm.dot(ed.n, -ed.d), 1e-6))
+    area = jnp.maximum(p[:, 6], 1e-12)
+    # area light: emission pdf = (sel/A) * cos/pi ; direct pdf (solid angle)
+    emission_area = sel / area * cos_l / jnp.pi
+    # delta lights: emission pdf = sel * dir-pdf; direct ~ sel (delta)
+    emission_pt = sel * (1.0 / (4.0 * jnp.pi))
+    cutoff = p[:, 6]
+    emission_spot = sel / jnp.maximum(2.0 * jnp.pi * (1.0 - cutoff), 1e-6)
+    world_r = jnp.maximum(p[:, 7], 1e-3)
+    emission_dist = sel / (jnp.pi * world_r * world_r)
+    emission = jnp.where(ltype == schema.LIGHT_DIFFUSE, emission_area,
+               jnp.where(ltype == schema.LIGHT_POINT, emission_pt,
+               jnp.where(ltype == schema.LIGHT_SPOT, emission_spot,
+               jnp.where(ltype == schema.LIGHT_DISTANT, emission_dist,
+                         jnp.maximum(ed.pdf, 1e-12) / (jnp.pi * world_r * world_r)))))
+    direct_w = jnp.where(ed.is_delta, sel, jnp.maximum(ed.pdf, 1e-12))
+    return direct_w, emission, cos_l
+
+
+def _eval_with_rev(ctx, wi_local, wo_local, active_types):
+    lob = bsdfmod.evaluate(ctx, wi_local, wo_local, active_types)
+    rev = bsdfmod.evaluate(ctx, wo_local, wi_local, active_types)
+    return lob.f, lob.pdf, rev.pdf
+
+
+def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+              w: int, h: int, max_depth: int, active_types,
+              force_s: int = -1, force_t: int = -1) -> filmmod.Film:
+    """One BDPT pass over all pixels. force_s / force_t isolate a single
+    connection family (reference BDPT Force_s/Force_t debug knobs)."""
+    B = w * h
+    n_paths = float(B)
+    pixel_idx = jnp.arange(B, dtype=jnp.int32)
+    state = rngmod.seed(pixel_idx, pass_idx, jnp.uint32(0xB0))
+    geom = scene.geom
+
+    def use_strategy(s, t):
+        if force_s >= 0 and s != force_s:
+            return False
+        if force_t >= 0 and t != force_t:
+            return False
+        return True
+
+    # ======================= light subpath =======================
+    er, state = lightsmod.sample_emitter_ray(scene, state)
+    ltype = jnp.take(scene.lights.light_type, er.light_idx)
+    is_delta_l = (ltype == schema.LIGHT_POINT) | (ltype == schema.LIGHT_SPOT) \
+        | (ltype == schema.LIGHT_DISTANT)
+    emission_pdf_w = jnp.maximum(er.pdf_pos * er.pdf_dir, 1e-16)
+    cos_at_l = jnp.where(jnp.any(er.n != 0, -1),
+                         jnp.maximum(vm.dot(er.n, er.d), 1e-6), 1.0)
+    # direct pdf in area measure (for the s=0 partner weight)
+    direct_pdf_a = er.pdf_pos
+    beta_l = er.power / n_paths * (w * h)  # = er.power for n_paths == w*h
+    dvcm = _mis(direct_pdf_a / emission_pdf_w)
+    dvc = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
+
+    rays = traversal.Rays(o=er.o + er.d * 1e-4, d=er.d,
+                          tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+    active = jnp.ones(B, bool)
+    lvs = []
+    for li in range(NUM_LIGHT_V):
+        trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
+        hit = traversal8.intersect_scene(geom, trace_rays)
+        si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
+        alive = active & hit.valid
+        dist2 = jnp.maximum(hit.t * hit.t, 1e-12)
+        cos_in = jnp.maximum(vm.absdot(si.ns, si.wi), 1e-6)
+        dvcm_h = dvcm * _mis(dist2) / _mis(cos_in)
+        dvc_h = dvc / _mis(cos_in)
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+        frame = si.frame()
+        wi_local = frame.to_local(si.wi)
+        lvs.append(LightVertex(
+            valid=alive, p=si.p, ns=si.ns, ng=si.ng, ft=si.frame_t, fs=si.frame_s,
+            wi_local=wi_local, beta=beta_l, dvcm=dvcm_h, dvc=dvc_h,
+            mat_id=si.mat_id, uv=si.uv))
+
+        # continue the light walk
+        s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
+        rev = bsdfmod.evaluate(ctx, s.wo, wi_local, active_types)
+        cos_out = jnp.maximum(jnp.abs(s.wo[..., 2]), 1e-6)
+        pdf_fwd = jnp.maximum(s.pdf, 1e-12)
+        is_delta_b = (s.sampled_type & records.T_DELTA) != 0
+        pdf_rev = jnp.where(is_delta_b, pdf_fwd, jnp.maximum(rev.pdf, 1e-12))
+        dvc = _mis(cos_out / pdf_fwd) * (dvc_h * _mis(pdf_rev) + dvcm_h)
+        dvc = jnp.where(is_delta_b, _mis(cos_out / pdf_fwd) * dvc_h * _mis(pdf_rev), dvc)
+        dvcm = jnp.where(is_delta_b, 0.0, _mis(1.0 / pdf_fwd))
+        beta_l = beta_l * s.weight
+        active = alive & (jnp.max(jnp.abs(s.weight), -1) > 0)
+        wo_world = frame.to_world(s.wo)
+        rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
+                              d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+
+    # ---------- t=1: splat every light vertex to the camera ----------
+    for s_idx, lv in enumerate(lvs):
+        s_fam = s_idx + 2  # light sub-path length incl. emitter vertex
+        if not use_strategy(s_fam, 1):
+            continue
+        sd = sensors.sample_direct(scene.sensor, lv.p, None)
+        fr_lv = shading.fr.Frame(lv.ft, lv.fs, lv.ns)
+        wo_cam = fr_lv.to_local(sd.d)
+        ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv)
+        f, pdf_f, pdf_r = _eval_with_rev(ctx_lv, lv.wi_local, wo_cam, active_types)
+        # image-to-surface factor in pixel units (We * dist^-2 * cos)
+        we = sd.weight[:, 0] * (w * h)  # pixel-units importance
+        w_light = _mis(we / n_paths) * (lv.dvcm + lv.dvc * _mis(pdf_r))
+        mis_w = 1.0 / (w_light + 1.0)
+        contrib = lv.beta * f * (we / n_paths)[:, None] * mis_w[:, None]
+        shadow = traversal.Rays(
+            o=shading.offset_ray_origin(lv.p, lv.ng, sd.d), d=sd.d,
+            tmin=jnp.zeros(B),
+            tmax=jnp.where(lv.valid & sd.valid, sd.dist * 0.999, 0.0))
+        occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
+        ok = lv.valid & sd.valid & ~occ
+        px = jnp.clip(sd.p_film[:, 0].astype(jnp.int32), 0, w - 1)
+        py = jnp.clip(sd.p_film[:, 1].astype(jnp.int32), 0, h - 1)
+        film = filmmod.splat(film, px, py, contrib, mask=ok)
+
+    # ======================= camera subpath =======================
+    cam_rays, px, py, state, wt = tracer.gen_camera_rays(
+        scene, pixel_idx, 0, pass_idx, w, h)
+    params = scene.sensor.params
+    tan_half = jnp.tan(0.5 * params[0])
+    img_dist = w / (2.0 * tan_half)  # image plane distance in pixel units
+    cos_cam = vm.dot(cam_rays.d, scene.sensor.to_world[:3, 2]
+                     / jnp.linalg.norm(scene.sensor.to_world[:3, 2]))
+    camera_pdf_w = (img_dist * img_dist) / jnp.maximum(cos_cam ** 3, 1e-6)
+    beta_c = jnp.ones((B, 3))
+    dvcm_c = _mis(n_paths / jnp.maximum(camera_pdf_w, 1e-12))
+    dvc_c = jnp.zeros(B)
+    active_c = jnp.ones(B, bool)
+    L = jnp.zeros((B, 3))
+    rays = cam_rays
+
+    for t_idx in range(max_depth):
+        t_fam = t_idx + 2  # camera sub-path length incl. camera vertex
+        trace_rays = rays._replace(tmax=jnp.where(active_c, rays.tmax, 0.0))
+        hit = traversal8.intersect_scene(geom, trace_rays)
+        si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
+        alive = active_c & hit.valid
+        dist2 = jnp.maximum(hit.t * hit.t, 1e-12)
+        cos_in = jnp.maximum(vm.absdot(si.ns, si.wi), 1e-6)
+        dvcm_h = dvcm_c * _mis(dist2) / _mis(cos_in)
+        dvc_h = dvc_c / _mis(cos_in)
+
+        # ---------- s=0: camera path hits an emitter ----------
+        if use_strategy(0, t_fam):
+            le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
+            lid = jnp.maximum(si.light_id, 0)
+            prev = jnp.where(lid > 0, jnp.take(scene.lights.power_cdf,
+                                               jnp.maximum(lid - 1, 0)), 0.0)
+            sel = jnp.maximum(jnp.take(scene.lights.power_cdf, lid) - prev, 1e-12)
+            lp = jnp.take(scene.lights.params, lid, axis=0)
+            area = jnp.maximum(lp[:, 6], 1e-12)
+            cos_l = jnp.maximum(vm.dot(si.ng, si.wi), 1e-6)
+            direct_pdf_a = sel / area
+            emission_pdf_w = sel / area * cos_l / jnp.pi
+            w_cam = _mis(direct_pdf_a) * dvcm_h + _mis(emission_pdf_w) * dvc_h
+            mis_w = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam))
+            L = L + jnp.where(alive[:, None], beta_c * le * mis_w[:, None], 0.0)
+
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+        frame = si.frame()
+        wi_local = frame.to_local(si.wi)
+
+        # ---------- s=1: direct illumination sampling ----------
+        if use_strategy(1, t_fam):
+            ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
+            direct_w, emission_w, cos_at_light = _emission_pdfs(scene, ed)
+            wo_l = frame.to_local(ed.d)
+            f, pdf_f, pdf_r = _eval_with_rev(ctx, wi_local, wo_l, active_types)
+            cos_to_l = jnp.maximum(vm.absdot(si.ns, ed.d), 1e-6)
+            w_light = jnp.where(ed.is_delta, 0.0, _mis(pdf_f / direct_w))
+            w_cam = _mis(emission_w * cos_to_l / (direct_w * cos_at_light)) \
+                * (dvcm_h + dvc_h * _mis(pdf_r))
+            mis_w = 1.0 / (w_light + 1.0 + w_cam)
+            shadow = traversal.Rays(
+                o=shading.offset_ray_origin(si.p, si.ng, ed.d), d=ed.d,
+                tmin=jnp.zeros(B),
+                tmax=jnp.where(alive & (pdf_f + vm.length_sqr(f) > 0),
+                               ed.dist * 0.999, 0.0))
+            occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
+            contrib = beta_c * f * ed.radiance_over_pdf * mis_w[:, None]
+            L = L + jnp.where((alive & ~occ)[:, None], contrib, 0.0)
+
+        # ---------- s>=2: connect to stored light vertices ----------
+        for s_idx, lv in enumerate(lvs):
+            s_fam = s_idx + 2
+            if not use_strategy(s_fam, t_fam):
+                continue
+            dvec = lv.p - si.p
+            d2 = jnp.maximum(vm.length_sqr(dvec), 1e-12)
+            dist = jnp.sqrt(d2)
+            dirn = dvec / dist[:, None]
+            # camera-side BSDF toward light vertex
+            wo_c = frame.to_local(dirn)
+            f_c, pdf_cf, pdf_cr = _eval_with_rev(ctx, wi_local, wo_c, active_types)
+            # light-side BSDF toward camera vertex
+            fr_lv = shading.fr.Frame(lv.ft, lv.fs, lv.ns)
+            wo_lv = fr_lv.to_local(-dirn)
+            ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv)
+            f_l, pdf_lf, pdf_lr = _eval_with_rev(ctx_lv, lv.wi_local, wo_lv, active_types)
+            cos_c = jnp.maximum(vm.absdot(si.ns, dirn), 1e-6)
+            cos_lv = jnp.maximum(vm.absdot(lv.ns, dirn), 1e-6)
+            # evaluate() returns f*cos: divide out the cosines, use G explicitly
+            geom_term = 1.0 / d2
+            pdf_cf_a = pdf_cf * cos_lv / d2
+            pdf_lf_a = pdf_lf * cos_c / d2
+            w_light = _mis(pdf_cf_a) * (lv.dvcm + lv.dvc * _mis(pdf_lr))
+            w_cam = _mis(pdf_lf_a) * (dvcm_h + dvc_h * _mis(pdf_cr))
+            mis_w = 1.0 / (w_light + 1.0 + w_cam)
+            contrib = (beta_c * f_c) * (lv.beta * f_l) * (geom_term * mis_w)[:, None]
+            ok = alive & lv.valid & (jnp.max(contrib, -1) > 0)
+            shadow = traversal.Rays(
+                o=shading.offset_ray_origin(si.p, si.ng, dirn), d=dirn,
+                tmin=jnp.zeros(B), tmax=jnp.where(ok, dist * 0.998, 0.0))
+            occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
+            L = L + jnp.where((ok & ~occ)[:, None], contrib, 0.0)
+
+        # ---------- extend the camera path ----------
+        s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
+        rev = bsdfmod.evaluate(ctx, s.wo, wi_local, active_types)
+        cos_out = jnp.maximum(jnp.abs(s.wo[..., 2]), 1e-6)
+        pdf_fwd = jnp.maximum(s.pdf, 1e-12)
+        is_delta_b = (s.sampled_type & records.T_DELTA) != 0
+        pdf_rev = jnp.where(is_delta_b, pdf_fwd, jnp.maximum(rev.pdf, 1e-12))
+        dvc_c = _mis(cos_out / pdf_fwd) * (dvc_h * _mis(pdf_rev) + dvcm_h)
+        dvc_c = jnp.where(is_delta_b, _mis(cos_out / pdf_fwd) * dvc_h * _mis(pdf_rev), dvc_c)
+        dvcm_c = jnp.where(is_delta_b, 0.0, _mis(1.0 / pdf_fwd))
+        beta_c = beta_c * s.weight
+        active_c = alive & (jnp.max(jnp.abs(s.weight), -1) > 0)
+        wo_world = frame.to_world(s.wo)
+        rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
+                              d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+
+    film = filmmod.add_samples(film, px, py, L * wt)
+    return film
+
+
+class BDPT(tracer.TracerBase):
+    """Bidirectional path tracer (reference BDPT) with Force_s/Force_t knobs."""
+
+    def __init__(self, scene, width, height, max_depth: int = 6,
+                 force_s: int = -1, force_t: int = -1, seed: int = 0,
+                 active_types: Optional[Sequence[int]] = None):
+        super().__init__(scene, width, height, seed=seed)
+        from . import path as pathmod
+        self.max_depth = max_depth
+        if active_types is None:
+            active_types = pathmod.scene_active_types(scene)
+        self.active_types = tuple(active_types)
+        self._jitted = jax.jit(partial(
+            bdpt_pass, w=width, h=height, max_depth=max_depth,
+            active_types=self.active_types, force_s=force_s, force_t=force_t))
+
+    def render_pass(self, scene, film, pass_idx):
+        return self._jitted(scene, film, jnp.int32(pass_idx))

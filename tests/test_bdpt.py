@@ -1,0 +1,46 @@
+"""BDPT: convergence vs PT, strategy isolation (Force_s/Force_t), caustics."""
+import numpy as np
+import pytest
+
+from cudatracerlib_tpu.models import bdpt as bdptmod, path as pathmod
+from cudatracerlib_tpu.scene import host, schema
+from cudatracerlib_tpu.utils import example_scenes
+
+
+def test_bdpt_matches_pt():
+    scene = example_scenes.cornell_box(32, 32, spheres=False).build()
+    img_bd = np.asarray(bdptmod.BDPT(scene, 32, 32, max_depth=4).render(24))
+    img_pt = np.asarray(pathmod.PathTracer(scene, 32, 32, max_depth=4,
+                                           spp_per_pass=1).render(36))
+    blk = lambda a: a.reshape(8, 4, 8, 4, 3).mean((1, 3))
+    rel = np.abs(blk(img_bd) - blk(img_pt)) / (blk(img_pt) + 0.05)
+    assert np.median(rel) < 0.15, float(np.median(rel))
+    assert abs(img_bd.mean() - img_pt.mean()) / img_pt.mean() < 0.1
+
+
+def test_force_strategies_sum():
+    """Individually-forced families must sum (approximately) to the full image."""
+    scene = example_scenes.cornell_box(24, 24, spheres=False).build()
+    full = np.asarray(bdptmod.BDPT(scene, 24, 24, max_depth=2, seed=1).render(16))
+    # depth 2 families: (s=0,t in {2,3}), (s=1,t in {2,3}), (s>=2,t), (s,t=1)
+    parts = []
+    for fs in (0, 1, 2, 3):
+        tr = bdptmod.BDPT(scene, 24, 24, max_depth=2, force_s=fs, seed=1)
+        parts.append(np.asarray(tr.render(16)))
+    total = sum(p.mean() for p in parts)
+    assert abs(total - full.mean()) / full.mean() < 0.15, (total, full.mean())
+
+
+def test_bdpt_glass_caustic_scene():
+    """BDPT handles a glass sphere over a diffuse floor without fireworks."""
+    sc = example_scenes.cornell_box(24, 24, spheres=False)
+    glass = sc.add_material(host.MaterialSpec(bsdf_type=schema.BSDF_DIELECTRIC,
+                                              eta=1.5, two_sided=False))
+    from cudatracerlib_tpu.scene import shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+    sc.create_node(shapes.sphere(radius=0.3, n_theta=16, n_phi=32), glass,
+                   tf.translate([0, -0.5, 0]))
+    scene = sc.build()
+    img = np.asarray(bdptmod.BDPT(scene, 24, 24, max_depth=5).render(12))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05
