@@ -1,0 +1,54 @@
+"""Progressive photon mapping: PT agreement + radius schedule + grid ops."""
+import jax.numpy as jnp
+import numpy as np
+
+from cudatracerlib_tpu.models import path as pathmod
+from cudatracerlib_tpu.models import ppm as ppmmod
+from cudatracerlib_tpu.ops import hashgrid
+from cudatracerlib_tpu.utils import example_scenes
+
+
+def test_hashgrid_query():
+    r = np.random.default_rng(0)
+    n = 4000
+    pos = r.random((n, 3)).astype(np.float32) * 4 - 2
+    rows = np.concatenate([pos, r.random((n, 9)).astype(np.float32)], 1)
+    lo = jnp.asarray([-2.0, -2.0, -2.0])
+    hi = jnp.asarray([2.0, 2.0, 2.0])
+    radius = 0.15
+    g = hashgrid.build_grid(jnp.asarray(rows), jnp.asarray(pos),
+                            jnp.ones(n, bool), lo, hi, jnp.float32(2 * radius))
+    # count photons within radius of query points via the grid vs brute force
+    q = r.random((64, 3)).astype(np.float32) * 3 - 1.5
+
+    def accum(carry, rows_, mask):
+        return carry + mask.astype(jnp.float32)
+
+    cnt = hashgrid.gather_neighbors(g, jnp.asarray(q), jnp.full(64, radius),
+                                    accum, jnp.zeros(64), max_per_cell=64)
+    brute = ((np.linalg.norm(pos[None, :, :] - q[:, None, :], axis=-1) <= radius)
+             .sum(1))
+    np.testing.assert_array_equal(np.asarray(cnt).astype(int), brute)
+
+
+def test_ppm_matches_pt():
+    scene = example_scenes.cornell_box(32, 32, spheres=False).build()
+    pm = ppmmod.PPMTracer(scene, 32, 32, max_depth=4, initial_radius=0.08)
+    img_pm = np.asarray(pm.render(12))
+    pt = pathmod.PathTracer(scene, 32, 32, max_depth=4, spp_per_pass=1)
+    img_pt = np.asarray(pt.render(24))
+    blk = lambda a: a.reshape(8, 4, 8, 4, 3).mean((1, 3))
+    rel = np.abs(blk(img_pm) - blk(img_pt)) / (blk(img_pt) + 0.05)
+    assert np.median(rel) < 0.2, float(np.median(rel))
+    assert abs(img_pm.mean() - img_pt.mean()) / img_pt.mean() < 0.12
+
+
+def test_radius_schedule():
+    scene = example_scenes.cornell_box(16, 16, spheres=False).build()
+    pm = ppmmod.PPMTracer(scene, 16, 16, max_depth=3, initial_radius=0.1, alpha=2 / 3)
+    r0 = pm.radius
+    pm.render(3)
+    # r_i^2 = r_0^2 * prod (i+alpha)/(i+1): strictly decreasing
+    assert pm.radius < r0
+    st = pm.status()
+    assert st["photons_emitted"] == 3 * 16 * 16
