@@ -1,0 +1,103 @@
+"""GameTracer: pseudo-realtime GI via path-space filtering.
+
+Reference: ``Integrators/GameTracer`` + ``Kernel/PathSpaceFilteringBuffer``
+(Keller et al. path-space filtering: first-bounce incident radiance cached in
+a hash grid, re-gathered per pixel with a footprint-adaptive radius, temporal
+accumulation across frames). TPU-native: the cache is the sort-based hash grid
+(ops/hashgrid.py); samples are (position, normal, incident radiance) rows,
+re-gathered at primary hits and blended with the previous frame's film.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rngmod
+from ..core import vecmath as vm
+from ..ops import hashgrid, shading, traversal, traversal8
+from ..scene import schema
+from . import bsdf as bsdfmod
+from . import film as filmmod
+from . import lights as lightsmod
+from . import ppm as ppmmod
+from . import tracer
+
+Array = jax.Array
+
+
+def psf_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+             w: int, h: int, radius: float, temporal_alpha: float,
+             active_types) -> filmmod.Film:
+    B = w * h
+    pixel_idx = jnp.arange(B, dtype=jnp.int32)
+    rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
+    hit = traversal8.intersect_scene(scene.geom, rays)
+    si = shading.fill_dg(scene.geom, rays, hit, flip_to_ray=False)
+    alive = hit.valid
+    ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+    frame = si.frame()
+    wi_local = frame.to_local(si.wi)
+
+    # one-sample incident direct light at the primary hit -> cache entry
+    ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
+    wo_l = frame.to_local(ed.d)
+    lob = bsdfmod.evaluate(ctx, wi_local, wo_l, active_types)
+    shadow = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, ed.d), d=ed.d,
+                            tmin=jnp.zeros(B),
+                            tmax=jnp.where(alive, ed.dist * 0.999, 0.0))
+    occ = traversal8.intersect_scene(scene.geom, shadow, any_hit=True).valid
+    Li = jnp.where((alive & ~occ)[:, None], lob.f * ed.radiance_over_pdf, 0.0)
+
+    rows = jnp.concatenate([si.p, Li, si.ns, jnp.zeros((B, 3))], -1)
+    grid = hashgrid.build_grid(rows, si.p, alive, scene.world_lo, scene.world_hi,
+                               jnp.float32(2.0 * radius))
+
+    # gather: footprint-filtered outgoing radiance at each primary hit
+    r_lane = jnp.full(B, radius)
+
+    def accum(carry, prows, mask):
+        acc, cnt = carry
+        ok = mask & (vm.dot(prows[:, 6:9], si.ns) > 0.8)
+        return (acc + jnp.where(ok[:, None], prows[:, 3:6], 0.0),
+                cnt + ok.astype(jnp.float32))
+
+    acc, cnt = hashgrid.gather_neighbors(grid, si.p, r_lane, accum,
+                                         (jnp.zeros((B, 3)), jnp.zeros(B)))
+    filtered = acc / jnp.maximum(cnt, 1.0)[:, None]
+    le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
+    Lout = jnp.where(alive[:, None], filtered + le,
+                     lightsmod.eval_environment(scene, rays.d))
+
+    # temporal accumulation: exponential blend with the running image
+    prev = film.rgb
+    has_hist = film.n_passes > 0
+    blended = jnp.where(has_hist, prev * (1 - temporal_alpha)
+                        + Lout.reshape(h, w, 3) * temporal_alpha,
+                        Lout.reshape(h, w, 3))
+    return film._replace(rgb=blended, weight=jnp.ones_like(film.weight))
+
+
+class GameTracer(tracer.TracerBase):
+    """Primary hits + path-space-filtered direct light with temporal reuse."""
+
+    def __init__(self, scene, width, height, radius: Optional[float] = None,
+                 temporal_alpha: float = 0.25, seed: int = 0,
+                 active_types: Optional[Sequence[int]] = None):
+        super().__init__(scene, width, height, seed=seed)
+        from . import path as pathmod
+        import numpy as np
+        if active_types is None:
+            active_types = pathmod.scene_active_types(scene)
+        if radius is None:
+            diag = float(np.linalg.norm(np.asarray(scene.world_hi)
+                                        - np.asarray(scene.world_lo)))
+            radius = diag * 0.01
+        self._jitted = jax.jit(partial(
+            psf_pass, w=width, h=height, radius=float(radius),
+            temporal_alpha=temporal_alpha, active_types=tuple(active_types)))
+
+    def render_pass(self, scene, film, pass_idx):
+        return self._jitted(scene, film, jnp.int32(pass_idx))

@@ -1,0 +1,75 @@
+"""Aux subsystems: params, timers, debug visualizers, FastTracer, GameTracer."""
+import numpy as np
+
+from cudatracerlib_tpu.models import fast, game
+from cudatracerlib_tpu.utils import debug_viz, params, timers
+from cudatracerlib_tpu.utils import example_scenes
+
+
+class TestParams:
+    def test_typed_constraints(self):
+        import enum
+        class Mode(enum.Enum):
+            A = 0
+            B = 1
+        c = params.ParameterCollection("root")
+        c.add("depth", 8, lo=1, hi=64).add("rr", True).add("mode", Mode.A)
+        sub = params.ParameterCollection("photon").add("count", 10000, lo=1)
+        c.add_child(sub)
+        c.set("depth", "12")
+        assert c.get("depth") == 12
+        c.set("photon.count", 5)
+        assert c.get("photon.count") == 5
+        c.set("mode", "B")
+        assert c.get("mode") == Mode.B
+        try:
+            c.set("depth", 100)
+            assert False
+        except ValueError:
+            pass
+        params.apply_arguments(c, "depth=4 rr=false")
+        assert c.get("depth") == 4 and c.get("rr") is False
+        assert "photon.count" in c and "nope" not in c
+
+    def test_enum_reflection(self):
+        import enum
+        class E(enum.Enum):
+            FOO = 1
+            BAR = 2
+        assert params.EnumConverter.from_string(E, "BAR") == E.BAR
+        assert params.EnumConverter.to_string(E.FOO) == "FOO"
+        assert params.EnumConverter.names(E) == ["FOO", "BAR"]
+
+
+def test_timers():
+    pt = timers.PerformanceTimer()
+    with pt.block("x"):
+        sum(range(1000))
+    assert pt.totals["x"] > 0
+    assert "x:" in pt.report()
+
+
+def test_debug_viz():
+    dv = debug_viz.DebugVisualizerManager(8, 8)
+    dv.record("depth", np.random.default_rng(0).random((8, 8)))
+    hm = dv.heatmap("depth")
+    assert hm.shape == (8, 8, 3) and np.isfinite(hm).all()
+    dv.record("n", np.random.default_rng(1).normal(size=(8, 8, 3)))
+    vmap = dv.vector_map("n")
+    assert vmap.min() >= 0 and vmap.max() <= 1
+
+
+def test_fast_tracer():
+    scene = example_scenes.cornell_box(32, 32).build()
+    tr = fast.FastTracer(scene, 32, 32, mode=fast.MODE_DEPTH)
+    img = np.asarray(tr.render(1))
+    assert img.max() > 0 and np.isfinite(img).all()
+
+
+def test_game_tracer():
+    scene = example_scenes.cornell_box(32, 32).build()
+    tr = game.GameTracer(scene, 32, 32)
+    img1 = np.asarray(tr.render(1))
+    img2 = np.asarray(tr.render(1))  # temporal blend pass
+    assert np.isfinite(img2).all()
+    assert img2.mean() > 0.01
