@@ -237,8 +237,18 @@ class DynamicScene:
 
         v0 = np.concatenate(v0s); v1 = np.concatenate(v1s); v2 = np.concatenate(v2s)
         T = v0.shape[0]
-        b = bvhmod.build_bvh(v0, v1, v2, max_leaf=bvh8mod.LEAF_TRIS)
-        b8 = bvh8mod.collapse_bvh2(b, v0, v1, v2)
+        if T >= 4096:
+            # native binned-SAH builder (numpy fallback inside); skip the
+            # 2-wide reference structure for large scenes — only the fat-row
+            # table is used by the production intersector
+            from . import native_bvh
+            b8 = native_bvh.build_bvh8(v0, v1, v2)
+            b = bvhmod.BVH(nodes=np.zeros((1, 16), np.float32),
+                           tri_order=np.arange(T, dtype=np.int32),
+                           world_lo=b8.world_lo, world_hi=b8.world_hi)
+        else:
+            b = bvhmod.build_bvh(v0, v1, v2, max_leaf=bvh8mod.LEAF_TRIS)
+            b8 = bvh8mod.collapse_bvh2(b, v0, v1, v2)
         wide = traversal8.pack_unified(b8.nodes, b8.leaves)
         tris = traversal.pack_tris(v0, v1, v2)
         ng = np.cross(v1 - v0, v2 - v0)
