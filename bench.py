@@ -13,12 +13,13 @@ def main():
     from cudatracerlib_tpu.models import path as pathmod
     from cudatracerlib_tpu.utils import example_scenes
 
-    w = h = 256
+    w = h = 512
     max_depth = 6
     scene = example_scenes.cornell_box(w, h).build()
-    tr = pathmod.PathTracer(scene, w, h, max_depth=max_depth, spp_per_pass=1)
+    tr = pathmod.PathTracer(scene, w, h, max_depth=max_depth, spp_per_pass=1,
+                            chunk_size=1 << 16)
     tr.do_pass()  # compile
-    n_passes = 8
+    n_passes = 6
     t0 = time.perf_counter()
     for _ in range(n_passes):
         tr.do_pass()
@@ -31,7 +32,7 @@ def main():
     mrays = rays / dt / 1e6
     baseline = 150.0
     print(json.dumps({
-        "metric": "path-tracer throughput (Cornell 256x256, depth 6, NEE+MIS)",
+        "metric": "path-tracer throughput (Cornell 512x512, depth 6, NEE+MIS)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 4),
