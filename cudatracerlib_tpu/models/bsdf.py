@@ -809,3 +809,47 @@ def is_delta_only(ctx: BsdfCtx) -> Array:
     for t in _DELTA_TYPES:
         m |= ctx.mat_type == t
     return m
+
+
+def scene_has_alpha(scene: schema.SceneData) -> bool:
+    import numpy as np
+    return bool((np.asarray(scene.materials.tex[:, 2]) >= 0).any())
+
+
+def scene_has_bump(scene: schema.SceneData) -> bool:
+    import numpy as np
+    return bool((np.asarray(scene.materials.tex[:, 3]) >= 0).any())
+
+
+def eval_alpha(scene: schema.SceneData, mat_id: Array, uv: Array) -> Array:
+    """Opacity in [0,1] from the alpha-mask texture slot (1 = solid).
+
+    Reference: AlphaBlendData alpha-test modes (Engine/Material.h:13-35)."""
+    tex_ids = jnp.take(scene.materials.tex, jnp.maximum(mat_id, 0), axis=0)
+    a = texmod.eval_texture(scene.textures, tex_ids[:, 2], uv,
+                            jnp.ones((mat_id.shape[0], 3)))
+    return jnp.clip(a[:, 0], 0.0, 1.0)
+
+
+def apply_bump(scene: schema.SceneData, si, scale: float = 1.0):
+    """Perturb the shading frame with a height-map texture (finite-difference
+    gradients; reference: Material bump/normal mapping, Material.cu)."""
+    mid = jnp.maximum(si.mat_id, 0)
+    tex_ids = jnp.take(scene.materials.tex, mid, axis=0)
+    bump_id = tex_ids[:, 3]
+    eps = 2e-3
+    zero3 = jnp.zeros((mid.shape[0], 3))
+    h0 = texmod.eval_texture(scene.textures, bump_id, si.uv, zero3)[:, 0]
+    hu = texmod.eval_texture(scene.textures, bump_id,
+                             si.uv + jnp.asarray([eps, 0.0]), zero3)[:, 0]
+    hv = texmod.eval_texture(scene.textures, bump_id,
+                             si.uv + jnp.asarray([0.0, eps]), zero3)[:, 0]
+    dhdu = (hu - h0) / eps * scale
+    dhdv = (hv - h0) / eps * scale
+    ns = vm.normalize(si.ns - si.frame_t * dhdu[:, None] - si.frame_s * dhdv[:, None])
+    has = bump_id >= 0
+    ns = jnp.where(has[:, None], ns, si.ns)
+    t, s2 = vm.coordinate_system(ns)
+    t = jnp.where(has[:, None], t, si.frame_t)
+    s2 = jnp.where(has[:, None], s2, si.frame_s)
+    return si._replace(ns=ns, frame_t=t, frame_s=s2)

@@ -36,7 +36,8 @@ Array = jax.Array
 def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 max_depth: int = 8, rr_depth: int = 3, use_nee: bool = True,
                 active_types: Sequence[int] = bsdfmod.ALL_TYPES,
-                with_media: bool | None = None):
+                with_media: bool | None = None, with_alpha: bool = False,
+                with_bump: bool = False):
     """Estimate radiance along each lane's camera ray. Returns (L, state).
 
     with_media toggles participating-media handling (medium distance sampling
@@ -86,7 +87,17 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         # keep true geometric orientation: dielectrics need the signed side,
         # and two-sided opaque materials are mirrored inside the BSDF layer
         si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
+        if with_bump:
+            si = bsdfmod.apply_bump(scene, si)
         hit_l = active & hit.valid & ~med_event
+        if with_alpha:
+            # stochastic alpha test: transparent lanes pass straight through
+            a = bsdfmod.eval_alpha(scene, si.mat_id, si.uv)
+            state, u_a = rngmod.next_float(state)
+            alpha_pass = hit_l & (u_a >= a)
+            hit_l = hit_l & ~alpha_pass
+        else:
+            alpha_pass = jnp.zeros(B, bool)
 
         # --- emitted radiance at the hit (area lights) with MIS ---
         le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
@@ -152,8 +163,15 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             next_pdf = jnp.where(med_event, pdf_ph, next_pdf)
             is_delta = jnp.where(med_event, False, is_delta)
             new_o = jnp.where(med_event[:, None], ms.p, new_o)
+        if with_alpha:
+            # alpha pass-through continues unchanged along the same direction
+            wo_world = jnp.where(alpha_pass[:, None], cur.d, wo_world)
+            weight = jnp.where(alpha_pass[:, None], 1.0, weight)
+            is_delta = jnp.where(alpha_pass, True, is_delta)
+            new_o = jnp.where(alpha_pass[:, None],
+                              si.p + cur.d * 1e-4, new_o)
         beta_next = beta * weight
-        cont = hit_l | med_event
+        cont = hit_l | med_event | alpha_pass
         alive = cont & (jnp.max(jnp.abs(weight), axis=-1) > 0) & (depth + 1 < max_depth)
 
         # --- Russian roulette on throughput ---
@@ -187,13 +205,16 @@ class PathTracer(tracer.TracerBase):
         if active_types is None:
             active_types = scene_active_types(scene)
         self.active_types = tuple(active_types)
+        self.with_alpha = bsdfmod.scene_has_alpha(scene)
+        self.with_bump = bsdfmod.scene_has_bump(scene)
         self.chunk_size = min(chunk_size, width * height)
         n_chunks = (width * height + self.chunk_size - 1) // self.chunk_size
         self._n_chunks = n_chunks
         self._jitted = jax.jit(partial(
             _pt_chunk, w=width, h=height, chunk=self.chunk_size,
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
-            spp=spp_per_pass, active_types=self.active_types))
+            spp=spp_per_pass, active_types=self.active_types,
+            with_alpha=self.with_alpha, with_bump=self.with_bump))
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
@@ -216,7 +237,8 @@ def scene_active_types(scene: schema.SceneData):
 
 def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
-              use_nee: bool, spp: int, active_types) -> filmmod.Film:
+              use_nee: bool, spp: int, active_types, with_alpha: bool = False,
+              with_bump: bool = False) -> filmmod.Film:
     base = chunk_idx * chunk
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
     for s_i in range(spp):
@@ -224,6 +246,7 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
         rays, px, py, state, wt = tracer.gen_camera_rays(
             scene, pixel_idx, sample_idx, pass_idx, w, h)
         L, state = pt_radiance(scene, rays, state, max_depth, rr_depth,
-                               use_nee, active_types)
+                               use_nee, active_types, with_alpha=with_alpha,
+                               with_bump=with_bump)
         film = filmmod.add_samples(film, px, py, L * wt)
     return film
