@@ -157,6 +157,193 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
     return Hit(t=out[4], tri=out[5], u=out[6], v=out[7])
 
 
+
+
+@partial(jax.jit, static_argnames=("any_hit", "rays_per_lane", "stack_depth",
+                                   "max_iters"))
+def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
+                              any_hit: bool = False,
+                              stack_depth: int = STACK_DEPTH,
+                              max_iters: int = MAX_ITERS) -> Hit:
+    """Persistent-lane wide traversal: each lane processes K rays in sequence.
+
+    The lockstep while_loop's cost is set by the WORST lane; with one ray per
+    lane the whole batch waits on the slowest ray. Assigning K rays per lane
+    (lane b handles rays b, B+b, 2B+b, ...) amortizes the tail: total
+    iterations approach K * mean-steps instead of K * worst-steps — the TPU
+    equivalent of Aila-Laine persistent threads fetching from the global ray
+    queue, with the queue statically strided instead of atomic.
+    """
+    K = rays_per_lane
+    N = rays.o.shape[0]
+    assert N % K == 0, "ray count must divide rays_per_lane"
+    B = N // K
+    if K == 1:
+        return intersect_wide(table, rays, any_hit=any_hit,
+                              stack_depth=stack_depth, max_iters=max_iters)
+    inv_all = _safe_inv(rays.d)
+    # slot-major views: slot k of lane b is ray k*B + b
+    oK = rays.o.reshape(K, B, 3)
+    dK = rays.d.reshape(K, B, 3)
+    iK = inv_all.reshape(K, B, 3)
+    tminK = rays.tmin.reshape(K, B)
+    tmaxK = rays.tmax.reshape(K, B)
+    n_rows = table.shape[0]
+    inf = jnp.float32(jnp.inf)
+    bit8 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[:, None]
+
+    def sel_slot(k_idx, stacked):
+        out = stacked[0]
+        for k in range(1, K):
+            m = k_idx == k
+            out = jnp.where(m[..., None] if stacked[k].ndim == 2 else m,
+                            stacked[k], out)
+        return out
+
+    def body(state):
+        (it, k_cur, cur, sp, stack, ox, oy, oz, ix, iy, iz, dx, dy, dz, tmn,
+         t_best, tri_best, u_best, v_best, outs) = state
+        is_node = cur >= 0
+        is_leaf = cur <= -2
+
+        row_idx = jnp.where(is_node, cur >> 8, -2 - cur)
+        row = jnp.take(table, jnp.clip(row_idx, 0, n_rows - 1), axis=0)
+        rt = row.T
+
+        t0x = (rt[0:8] - ox) * ix
+        t1x = (rt[24:32] - ox) * ix
+        t0y = (rt[8:16] - oy) * iy
+        t1y = (rt[32:40] - oy) * iy
+        t0z = (rt[16:24] - oz) * iz
+        t1z = (rt[40:48] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+        tf_ = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                          jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+        links = _bitcast_i32(rt[48:56])
+        mask = cur & 0xFF
+        eligible = (tn <= tf_) & (links != DONE) & ((mask & bit8) != 0)
+        t_sel = jnp.where(eligible, tn, inf)
+        best_j = jnp.argmin(t_sel, axis=0).astype(jnp.int32)
+        has_child = jnp.isfinite(jnp.min(t_sel, axis=0))
+        oh8 = jnp.arange(8, dtype=jnp.int32)[:, None] == best_j
+        link_best = jnp.sum(jnp.where(oh8, links, 0), axis=0)
+        elig_bits = jnp.sum(jnp.where(eligible, bit8, 0), axis=0, dtype=jnp.int32)
+        remaining = elig_bits & ~(jnp.int32(1) << best_j)
+        descend = jnp.where(link_best >= 0, (link_best << 8) | 0xFF, link_best)
+        node_next = jnp.where(has_child, descend, POP)
+        push = is_node & has_child & (remaining != 0)
+        push_val = ((cur >> 8) << 8) | remaining
+
+        v0x, v0y, v0z = rt[0:12], rt[12:24], rt[24:36]
+        e1x, e1y, e1z = rt[36:48], rt[48:60], rt[60:72]
+        e2x, e2y, e2z = rt[72:84], rt[84:96], rt[96:108]
+        ids = _bitcast_i32(rt[108:120])
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        tri_ok = ((ids != -1) & (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1.0) & (t > tmn) & (t < t_best))
+        t_tri = jnp.where(tri_ok, t, inf)
+        t_hit = jnp.min(t_tri, axis=0)
+        oh12 = jnp.arange(12, dtype=jnp.int32)[:, None] == jnp.argmin(t_tri, axis=0)
+        leaf_hit = is_leaf & jnp.isfinite(t_hit)
+        t_best = jnp.where(leaf_hit, t_hit, t_best)
+        tri_best = jnp.where(leaf_hit, jnp.sum(jnp.where(oh12, ids, 0), axis=0), tri_best)
+        u_best = jnp.where(leaf_hit, jnp.sum(jnp.where(oh12, u, 0.0), axis=0), u_best)
+        v_best = jnp.where(leaf_hit, jnp.sum(jnp.where(oh12, v, 0.0), axis=0), v_best)
+
+        nxt = jnp.where(is_node, node_next,
+                        jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
+        if any_hit:
+            nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+
+        new_stack = [jnp.where(push, push_val, stack[0])]
+        for k in range(1, stack_depth):
+            new_stack.append(jnp.where(push, stack[k - 1], stack[k]))
+        sp = sp + push.astype(jnp.int32)
+        want_pop = nxt == POP
+        can_pop = want_pop & (sp > 0)
+        popped = new_stack[0]
+        final_stack = []
+        for k in range(stack_depth - 1):
+            final_stack.append(jnp.where(can_pop, new_stack[k + 1], new_stack[k]))
+        final_stack.append(new_stack[stack_depth - 1])
+        sp = jnp.where(can_pop, sp - 1, sp)
+        cur = jnp.where(want_pop, jnp.where(can_pop, popped, DONE), nxt)
+
+        # ---------- ray completion: record outputs, fetch the next ray ------
+        completed = (cur == DONE) & (k_cur < K)
+        out_t, out_tri, out_u, out_v = outs
+        new_out_t, new_out_tri, new_out_u, new_out_v = [], [], [], []
+        for k in range(K):
+            mk = completed & (k_cur == k)
+            new_out_t.append(jnp.where(mk, t_best, out_t[k]))
+            new_out_tri.append(jnp.where(mk, tri_best, out_tri[k]))
+            new_out_u.append(jnp.where(mk, u_best, out_u[k]))
+            new_out_v.append(jnp.where(mk, v_best, out_v[k]))
+        k_next = jnp.where(completed, k_cur + 1, k_cur)
+        fetch = completed & (k_next < K)
+        o_new = sel_slot(k_next, oK)
+        d_new = sel_slot(k_next, dK)
+        i_new = sel_slot(k_next, iK)
+        tmin_new = sel_slot(k_next, tminK)
+        tmax_new = sel_slot(k_next, tmaxK)
+        ox = jnp.where(fetch, o_new[:, 0], ox)
+        oy = jnp.where(fetch, o_new[:, 1], oy)
+        oz = jnp.where(fetch, o_new[:, 2], oz)
+        ix = jnp.where(fetch, i_new[:, 0], ix)
+        iy = jnp.where(fetch, i_new[:, 1], iy)
+        iz = jnp.where(fetch, i_new[:, 2], iz)
+        dx = jnp.where(fetch, d_new[:, 0], dx)
+        dy = jnp.where(fetch, d_new[:, 1], dy)
+        dz = jnp.where(fetch, d_new[:, 2], dz)
+        tmn = jnp.where(fetch, tmin_new, tmn)
+        t_best = jnp.where(fetch, tmax_new, t_best)
+        tri_best = jnp.where(fetch, -1, tri_best)
+        u_best = jnp.where(fetch, 0.0, u_best)
+        v_best = jnp.where(fetch, 0.0, v_best)
+        cur = jnp.where(fetch, jnp.int32(0xFF), cur)
+        sp = jnp.where(fetch, 0, sp)
+        return (it + 1, k_next, cur, sp, tuple(final_stack),
+                ox, oy, oz, ix, iy, iz, dx, dy, dz, tmn,
+                t_best, tri_best, u_best, v_best,
+                (tuple(new_out_t), tuple(new_out_tri), tuple(new_out_u),
+                 tuple(new_out_v)))
+
+    def cond(state):
+        return (state[0] < max_iters) & jnp.any(state[2] != DONE)
+
+    zeros_f = tuple(jnp.zeros(B) for _ in range(K))
+    init = (jnp.int32(0), jnp.zeros(B, jnp.int32),
+            jnp.full(B, 0xFF, jnp.int32), jnp.zeros(B, jnp.int32),
+            tuple(jnp.zeros(B, jnp.int32) for _ in range(stack_depth)),
+            oK[0, :, 0], oK[0, :, 1], oK[0, :, 2],
+            iK[0, :, 0], iK[0, :, 1], iK[0, :, 2],
+            dK[0, :, 0], dK[0, :, 1], dK[0, :, 2],
+            tminK[0], tmaxK[0],
+            jnp.full(B, -1, jnp.int32), jnp.zeros(B), jnp.zeros(B),
+            (zeros_f, tuple(jnp.full(B, -1, jnp.int32) for _ in range(K)),
+             zeros_f, tuple(jnp.zeros(B) for _ in range(K))))
+    out = jax.lax.while_loop(cond, body, init)
+    out_t, out_tri, out_u, out_v = out[19]
+    return Hit(t=jnp.stack(out_t).reshape(N),
+               tri=jnp.stack(out_tri).reshape(N),
+               u=jnp.stack(out_u).reshape(N),
+               v=jnp.stack(out_v).reshape(N))
+
+
 def pack_unified(bvh8_nodes, bvh8_leaves):
     """Concatenate node+leaf rows into one table, remapping leaf links."""
     import numpy as np
@@ -168,6 +355,16 @@ def pack_unified(bvh8_nodes, bvh8_leaves):
     return np.concatenate([nodes, bvh8_leaves], axis=0)
 
 
+DEFAULT_RAYS_PER_LANE = 8
+
+
 def intersect_scene(geom, rays: Rays, any_hit: bool = False) -> Hit:
-    """Production intersector over a GeometryTable (wide fat-row path)."""
+    """Production intersector over a GeometryTable (wide fat-row path).
+
+    Uses persistent lanes (K rays per lane) when the batch divides evenly —
+    ~5x over one-ray-per-lane by amortizing the lockstep worst-lane tail."""
+    K = DEFAULT_RAYS_PER_LANE
+    if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
+        return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
+                                         any_hit=any_hit)
     return intersect_wide(geom.wide, rays, any_hit=any_hit)
