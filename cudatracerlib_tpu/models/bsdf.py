@@ -73,7 +73,8 @@ class BsdfCtx(NamedTuple):
                              n_type=z, n2_type=z)
 
 
-def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array) -> BsdfCtx:
+def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
+               uv_footprint: Array | None = None) -> BsdfCtx:
     """Gather material rows + evaluate textures for a lane batch."""
     mats, texs = scene.materials, scene.textures
     mid = jnp.maximum(mat_id, 0)
@@ -82,8 +83,8 @@ def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array) -> BsdfCtx:
         t = jnp.take(mats.mat_type, rows)
         p = jnp.take(mats.params, rows, axis=0)
         tex_ids = jnp.take(mats.tex, rows, axis=0)
-        c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3])
-        c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22])
+        c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3], uv_footprint)
+        c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22], uv_footprint)
         return t, p, c0, c1
 
     t, p, c0, c1 = gather_one(mid)

@@ -53,6 +53,10 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     L = jnp.zeros((B, 3))
     beta = jnp.ones((B, 3))
     active = jnp.ones(B, bool)
+    # ray-cone angular width: one pixel of the sensor (grows linearly with t;
+    # widening at rough bounces lands with ray differentials)
+    params = scene.sensor.params
+    cone = 2.0 * jnp.tan(0.5 * params[0]) / jnp.maximum(params[5], 1.0)
     prev_pdf = jnp.zeros(B)       # BSDF/phase pdf of the ray's generating sample
     prev_delta = jnp.ones(B, bool)  # camera rays count as "delta" (weight 1)
     cur = rays
@@ -109,7 +113,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         L = L + jnp.where(hit_l[:, None], beta * le * w_hit[:, None], 0.0)
 
         # --- surface shading setup ---
-        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+        footprint = cone * hit.t * si.uv_density
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv, footprint)
         frame = si.frame()
         wi_local = frame.to_local(si.wi)
 

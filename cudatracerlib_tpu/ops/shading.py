@@ -34,6 +34,7 @@ class SurfaceInteraction(NamedTuple):
     tri: Array      # (B,) i32
     wi: Array       # (B, 3) unit direction toward the ray origin (world)
     flipped: Array  # (B,) bool: true if normals were flipped to face the ray
+    uv_density: Array  # (B,) sqrt(uv area / world area) for ray-cone mip LOD
 
     def frame(self) -> fr.Frame:
         return fr.Frame(self.frame_t, self.frame_s, self.ns)
@@ -67,6 +68,8 @@ def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
     inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
     dpdu = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
     degenerate = jnp.abs(det) < 1e-12
+    world_area2 = vm.length(vm.cross(e1, e2))
+    uv_density = jnp.sqrt(jnp.abs(det) / jnp.maximum(world_area2, 1e-20))
 
     if flip_to_ray:
         flip = vm.dot(ng, rays.d) > 0.0
@@ -90,7 +93,7 @@ def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
         frame_t=t_final, frame_s=s_final,
         bary=jnp.stack([u, v], -1),
         mat_id=take(geom.mat_id), light_id=take(geom.light_id), tri=hit.tri,
-        wi=-rays.d, flipped=flip)
+        wi=-rays.d, flipped=flip, uv_density=uv_density)
 
 
 def offset_ray_origin(p: Array, n: Array, d: Array, eps: float = 1e-4) -> Array:

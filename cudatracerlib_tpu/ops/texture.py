@@ -15,10 +15,12 @@ Array = jax.Array
 
 
 def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
-                 default: Array) -> Array:
+                 default: Array, uv_footprint: Array | None = None) -> Array:
     """Evaluate texture rows for a lane batch.
 
     tex_id: (B,) i32 (-1 = use `default`); uv: (B, 2); default: (B, 3).
+    uv_footprint: optional (B,) pixel footprint in UV units (ray-cone width *
+    uv density); each image picks its mip level from it (trilinear).
     """
     tid = jnp.maximum(tex_id, 0)
     ttype = jnp.take(tex.tex_type, tid)
@@ -42,8 +44,21 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
     # uv debug
     c_uv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros_like(u)], axis=-1)
 
-    # image: bilinear from mip 0 of the atlas
-    c_image = _sample_image(tex, tid, u, v)
+    # image: bilinear (mip 0) or trilinear (ray-cone footprint) from the atlas
+    if uv_footprint is None:
+        c_image = _sample_image(tex, tid, u, v)
+    else:
+        img_row = jnp.maximum(jnp.take(tex.image_id, tid), 0)
+        nm = jnp.take(tex.img_nmips, img_row)
+        w0 = jnp.take(tex.img_w[:, 0], img_row).astype(jnp.float32)
+        texels_covered = uv_footprint * jnp.abs(p[:, 6]) * w0
+        lod = jnp.log2(jnp.maximum(texels_covered, 1.0))
+        l = jnp.clip(lod, 0.0, nm.astype(jnp.float32) - 1.0)
+        l0 = jnp.floor(l).astype(jnp.int32)
+        fl = (l - l0.astype(jnp.float32))[:, None]
+        c_lo = _sample_image(tex, tid, u, v, l0)
+        c_hi = _sample_image(tex, tid, u, v, jnp.minimum(l0 + 1, nm - 1))
+        c_image = c_lo * (1 - fl) + c_hi * fl
 
     # wireframe: distance to nearest triangle edge is integrator-side; here
     # approximate with uv-grid lines (exact version uses barycentrics)
@@ -60,11 +75,21 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
     return jnp.where((tex_id >= 0)[:, None], out, default)
 
 
-def _sample_image(tex: schema.TextureTable, tid: Array, u: Array, v: Array) -> Array:
+def _sample_image(tex: schema.TextureTable, tid: Array, u: Array, v: Array,
+                  level: Array | None = None) -> Array:
     img = jnp.maximum(jnp.take(tex.image_id, tid), 0)
-    off = jnp.take(tex.img_offset[:, 0], img)
-    w = jnp.take(tex.img_w[:, 0], img)
-    h = jnp.take(tex.img_h[:, 0], img)
+    if level is None:
+        off = jnp.take(tex.img_offset[:, 0], img)
+        w = jnp.take(tex.img_w[:, 0], img)
+        h = jnp.take(tex.img_h[:, 0], img)
+    else:
+        rows_o = jnp.take(tex.img_offset, img, axis=0)
+        rows_w = jnp.take(tex.img_w, img, axis=0)
+        rows_h = jnp.take(tex.img_h, img, axis=0)
+        oh = jnp.arange(rows_o.shape[1], dtype=jnp.int32)[None, :] == level[:, None]
+        off = jnp.sum(jnp.where(oh, rows_o, 0), axis=1)
+        w = jnp.sum(jnp.where(oh, rows_w, 0), axis=1)
+        h = jnp.sum(jnp.where(oh, rows_h, 0), axis=1)
     # wrap repeat; v flipped (uv origin bottom-left, image row 0 on top)
     x = (u % 1.0) * w.astype(jnp.float32) - 0.5
     y = ((1.0 - v % 1.0) % 1.0) * h.astype(jnp.float32) - 0.5

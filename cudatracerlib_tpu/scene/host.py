@@ -306,20 +306,41 @@ class DynamicScene:
             if t.image is not None:
                 images.append(np.asarray(t.image, np.float32))
                 image_id[i] = len(images) - 1
-        MAX_MIPS = 1
+        MAX_MIPS = 12
         if images:
-            offs, ws, hs, pool = [], [], [], []
+            offs, ws, hs, nmips, pool = [], [], [], [], []
             cursor = 0
             for img in images:
-                h, w = img.shape[:2]
-                offs.append([cursor]); ws.append([w]); hs.append([h])
-                pool.append(img.reshape(-1, 3))
-                cursor += w * h
+                # full mip chain by 2x2 box downsampling (reference MIPMap)
+                levels = [img]
+                while min(levels[-1].shape[0], levels[-1].shape[1]) > 1 \
+                        and len(levels) < MAX_MIPS:
+                    prev = levels[-1]
+                    h2, w2 = max(prev.shape[0] // 2, 1), max(prev.shape[1] // 2, 1)
+                    ds = prev[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2, 3).mean((1, 3))
+                    levels.append(ds.astype(np.float32))
+                o_row = np.zeros(MAX_MIPS, np.int32)
+                w_row = np.ones(MAX_MIPS, np.int32)
+                h_row = np.ones(MAX_MIPS, np.int32)
+                for li, lv in enumerate(levels):
+                    o_row[li] = cursor
+                    h_, w_ = lv.shape[:2]
+                    w_row[li] = w_
+                    h_row[li] = h_
+                    pool.append(lv.reshape(-1, 3))
+                    cursor += w_ * h_
+                # clamp trailing levels to the last real one
+                for li in range(len(levels), MAX_MIPS):
+                    o_row[li] = o_row[len(levels) - 1]
+                    w_row[li] = w_row[len(levels) - 1]
+                    h_row[li] = h_row[len(levels) - 1]
+                offs.append(o_row); ws.append(w_row); hs.append(h_row)
+                nmips.append(len(levels))
             texels = np.concatenate(pool)
-            img_offset = np.asarray(offs, np.int32)
-            img_w = np.asarray(ws, np.int32)
-            img_h = np.asarray(hs, np.int32)
-            img_nmips = np.ones(len(images), np.int32)
+            img_offset = np.stack(offs)
+            img_w = np.stack(ws)
+            img_h = np.stack(hs)
+            img_nmips = np.asarray(nmips, np.int32)
         else:
             texels = np.zeros((1, 3), np.float32)
             img_offset = np.zeros((1, MAX_MIPS), np.int32)

@@ -70,3 +70,33 @@ def test_bump_changes_shading():
     diff = np.abs(bumped - flat)[8:20, 4:20].mean()
     base = flat[8:20, 4:20].mean()
     assert diff > 0.05 * base, (diff, base)
+
+
+def test_mipmap_trilinear():
+    """Large footprints read coarse mips: result approaches the image mean."""
+    import jax.numpy as jnp
+    from cudatracerlib_tpu.ops import texture as texmod
+    r = np.random.default_rng(3)
+    # 4-texel checker (1-texel checkers bilinear-blur to 0.5 even at mip 0)
+    img = (((np.indices((64, 64)) // 4).sum(0) % 2) * 1.0).astype(np.float32)
+    img = np.repeat(img[..., None], 3, -1)
+    sc = host.DynamicScene()
+    spec = host.TextureSpec(tex_type=schema.TEX_IMAGE, image=img)
+    m = sc.add_material(host.MaterialSpec(tex_reflectance=spec))
+    sc.create_node(shapes.rectangle(), m)
+    sc.set_sensor(sensors.make_sensor(schema.SENSOR_PERSPECTIVE,
+                                      tf.look_at([0, 0, -3], [0, 0, 0]),
+                                      film_w=8, film_h=8))
+    scene = sc.build()
+    assert int(scene.textures.img_nmips[0]) >= 6  # full chain built
+    B = 256
+    uv = jnp.asarray(r.random((B, 2)), jnp.float32)
+    tex_id = jnp.zeros(B, jnp.int32)
+    default = jnp.zeros((B, 3))
+    fine = texmod.eval_texture(scene.textures, tex_id, uv, default,
+                               uv_footprint=jnp.full(B, 1e-6))
+    coarse = texmod.eval_texture(scene.textures, tex_id, uv, default,
+                                 uv_footprint=jnp.full(B, 1.0))
+    # fine level: binary texels; coarse: averaged to ~0.5
+    assert np.asarray(fine).std() > 0.3
+    np.testing.assert_allclose(np.asarray(coarse), 0.5, atol=0.05)
