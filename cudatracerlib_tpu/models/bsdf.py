@@ -854,3 +854,25 @@ def apply_bump(scene: schema.SceneData, si, scale: float = 1.0):
     t = jnp.where(has[:, None], t, si.frame_t)
     s2 = jnp.where(has[:, None], s2, si.frame_s)
     return si._replace(ns=ns, frame_t=t, frame_s=s2)
+
+
+def regularize_ctx(ctx: BsdfCtx, do_reg: Array, alpha_min: float = 0.08) -> BsdfCtx:
+    """Path regularization (reference PathTracer path-regularization option):
+    on lanes flagged by `do_reg`, delta BSDFs are mollified into their rough
+    counterparts with roughness >= alpha_min so NEE/MIS can connect through
+    otherwise-delta chains (biased, consistent as alpha_min -> 0)."""
+    t = ctx.mat_type
+    new_t = jnp.where(do_reg & (t == schema.BSDF_DIELECTRIC),
+                      schema.BSDF_ROUGHDIELECTRIC, t)
+    new_t = jnp.where(do_reg & (t == schema.BSDF_CONDUCTOR),
+                      schema.BSDF_ROUGHCONDUCTOR, new_t)
+    p = ctx.params
+    bump_rough = do_reg & ((t == schema.BSDF_DIELECTRIC) | (t == schema.BSDF_CONDUCTOR)
+                           | (new_t == schema.BSDF_ROUGHDIELECTRIC)
+                           | (new_t == schema.BSDF_ROUGHCONDUCTOR))
+    p = p.at[:, 6].set(jnp.where(bump_rough, jnp.maximum(p[:, 6], alpha_min), p[:, 6]))
+    p = p.at[:, 7].set(jnp.where(bump_rough, jnp.maximum(p[:, 7], alpha_min), p[:, 7]))
+    return ctx._replace(mat_type=new_t, params=p)
+
+
+REGULARIZE_EXTRA_TYPES = (schema.BSDF_ROUGHDIELECTRIC, schema.BSDF_ROUGHCONDUCTOR)

@@ -37,7 +37,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 max_depth: int = 8, rr_depth: int = 3, use_nee: bool = True,
                 active_types: Sequence[int] = bsdfmod.ALL_TYPES,
                 with_media: bool | None = None, with_alpha: bool = False,
-                with_bump: bool = False):
+                with_bump: bool = False, regularize: bool = False,
+                regularize_alpha: float = 0.08):
     """Estimate radiance along each lane's camera ray. Returns (L, state).
 
     with_media toggles participating-media handling (medium distance sampling
@@ -59,10 +60,11 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     cone = 2.0 * jnp.tan(0.5 * params[0]) / jnp.maximum(params[5], 1.0)
     prev_pdf = jnp.zeros(B)       # BSDF/phase pdf of the ray's generating sample
     prev_delta = jnp.ones(B, bool)  # camera rays count as "delta" (weight 1)
+    had_smooth = jnp.zeros(B, bool)  # a non-delta bounce happened (regularization)
     cur = rays
 
     def bounce(depth, carry):
-        L, beta, active, prev_pdf, prev_delta, cur, state = carry
+        L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         hit = traversal8.intersect_scene(geom, trace_rays)
@@ -115,6 +117,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         # --- surface shading setup ---
         footprint = cone * hit.t * si.uv_density
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv, footprint)
+        if regularize:
+            ctx = bsdfmod.regularize_ctx(ctx, had_smooth, regularize_alpha)
         frame = si.frame()
         wi_local = frame.to_local(si.wi)
 
@@ -188,12 +192,13 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                               beta_next / jnp.maximum(q, 1e-6)[:, None], beta_next)
         alive = alive & survive
 
+        had_smooth2 = had_smooth | (cont & ~is_delta)
         nxt = traversal.Rays(o=new_o, d=wo_world,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
-                next_pdf, is_delta, nxt, state)
+                next_pdf, is_delta, nxt, state, had_smooth2)
 
-    carry = (L, beta, active, prev_pdf, prev_delta, cur, state)
+    carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth)
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
     return carry[0], carry[6]
 
@@ -202,13 +207,16 @@ class PathTracer(tracer.TracerBase):
     """Progressive unidirectional path tracer (reference PathTracer)."""
 
     def __init__(self, scene, width, height, max_depth: int = 8,
-                 rr_depth: int = 3, use_nee: bool = True,
+                 rr_depth: int = 3, use_nee: bool = True, regularize: bool = False,
                  spp_per_pass: int = 1, chunk_size: int = 1 << 17, seed: int = 0,
                  active_types: Optional[Sequence[int]] = None):
         super().__init__(scene, width, height, spp_per_pass=spp_per_pass, seed=seed)
         self.max_depth = max_depth
         if active_types is None:
             active_types = scene_active_types(scene)
+        if regularize:
+            active_types = tuple(sorted(set(active_types)
+                                        | set(bsdfmod.REGULARIZE_EXTRA_TYPES)))
         self.active_types = tuple(active_types)
         self.with_alpha = bsdfmod.scene_has_alpha(scene)
         self.with_bump = bsdfmod.scene_has_bump(scene)
@@ -219,7 +227,8 @@ class PathTracer(tracer.TracerBase):
             _pt_chunk, w=width, h=height, chunk=self.chunk_size,
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
             spp=spp_per_pass, active_types=self.active_types,
-            with_alpha=self.with_alpha, with_bump=self.with_bump))
+            with_alpha=self.with_alpha, with_bump=self.with_bump,
+            regularize=regularize))
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
@@ -243,7 +252,7 @@ def scene_active_types(scene: schema.SceneData):
 def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
-              with_bump: bool = False) -> filmmod.Film:
+              with_bump: bool = False, regularize: bool = False) -> filmmod.Film:
     base = chunk_idx * chunk
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
     for s_i in range(spp):
@@ -252,6 +261,6 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
             scene, pixel_idx, sample_idx, pass_idx, w, h)
         L, state = pt_radiance(scene, rays, state, max_depth, rr_depth,
                                use_nee, active_types, with_alpha=with_alpha,
-                               with_bump=with_bump)
+                               with_bump=with_bump, regularize=regularize)
         film = filmmod.add_samples(film, px, py, L * wt)
     return film

@@ -28,6 +28,8 @@ D_MAT_ID = 6
 D_LIGHT_LE = 7      # first-hit emitted radiance
 D_ALBEDO = 8        # first-hit diffuse reflectance approximation
 D_UVSET = 9
+D_FIRST_F = 10      # BSDF response for one sampled direction at the first hit
+D_FIRST_DIRECT = 11  # one-sample direct lighting at the first hit
 
 
 class PrimTracer(tracer.TracerBase):
@@ -96,4 +98,25 @@ def _aov(scene, rays, hit, si: shading.SurfaceInteraction, mode: int):
     if mode == D_ALBEDO:
         refl = jnp.take(scene.materials.params, jnp.maximum(si.mat_id, 0), axis=0)[:, 0:3]
         return refl
+    if mode in (D_FIRST_F, D_FIRST_DIRECT):
+        from ..core import rng as rngmod
+        from . import bsdf as bsdfmod
+        from . import lights as lightsmod
+        from ..ops import traversal, traversal8
+        B = si.p.shape[0]
+        state = rngmod.seed(jnp.arange(B, dtype=jnp.int32), 0, 0xA0)
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+        frame = si.frame()
+        wi_local = frame.to_local(si.wi)
+        if mode == D_FIRST_F:
+            s_, state = bsdfmod.sample_with_rng(ctx, wi_local, state)
+            return s_.weight
+        ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
+        lob = bsdfmod.evaluate(ctx, wi_local, frame.to_local(ed.d))
+        shadow = traversal.Rays(
+            o=shading.offset_ray_origin(si.p, si.ng, ed.d), d=ed.d,
+            tmin=jnp.zeros(B), tmax=jnp.where(si.valid, ed.dist * 0.999, 0.0))
+        occ = traversal8.intersect_scene(scene.geom, shadow, any_hit=True).valid
+        return jnp.where((si.valid & ~occ)[:, None],
+                         lob.f * ed.radiance_over_pdf, 0.0)
     raise ValueError(f"unknown draw mode {mode}")

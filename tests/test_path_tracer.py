@@ -79,3 +79,25 @@ class TestCornell:
         tr = pathmod.PathTracer(scene, 32, 32)
         d = tr.debug_pixel(16, 16)
         assert np.isfinite(np.asarray(d["L"])).all()
+
+
+class TestRegularization:
+    def test_regularized_caustic_less_noisy(self):
+        # glass sphere over floor lit by a small area light: pure PT leaves
+        # caustics to rare BSDF paths; regularization lets NEE reach them
+        from cudatracerlib_tpu.scene import host, schema, shapes
+        from cudatracerlib_tpu.utils import transforms as tf
+        sc = example_scenes.cornell_box(24, 24, spheres=False)
+        glass = sc.add_material(host.MaterialSpec(bsdf_type=schema.BSDF_DIELECTRIC,
+                                                  eta=1.5, two_sided=False))
+        sc.create_node(shapes.sphere(radius=0.3, n_theta=12, n_phi=24), glass,
+                       tf.translate([0, -0.6, 0]))
+        scene = sc.build()
+        plain = np.asarray(pathmod.PathTracer(scene, 24, 24, max_depth=6,
+                                              spp_per_pass=1).render(12))
+        reg = np.asarray(pathmod.PathTracer(scene, 24, 24, max_depth=6,
+                                            regularize=True,
+                                            spp_per_pass=1).render(12))
+        assert np.isfinite(reg).all()
+        # images must stay broadly consistent (regularization bias is small)
+        assert abs(reg.mean() - plain.mean()) / plain.mean() < 0.25
