@@ -355,7 +355,7 @@ def pack_unified(bvh8_nodes, bvh8_leaves):
     return np.concatenate([nodes, bvh8_leaves], axis=0)
 
 
-DEFAULT_RAYS_PER_LANE = 8
+DEFAULT_RAYS_PER_LANE = 16
 
 
 def intersect_scene(geom, rays: Rays, any_hit: bool = False) -> Hit:
