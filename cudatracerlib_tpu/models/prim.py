@@ -67,11 +67,12 @@ def _prim_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
 
 def _aov(scene, rays, hit, si: shading.SurfaceInteraction, mode: int):
     if mode == D_LINEAR_DEPTH:
-        far = vm.length(scene.world_hi - scene.world_lo)
+        # 2x scene diagonal: camera is typically outside the bounds
+        far = 2.0 * vm.length(scene.world_hi - scene.world_lo)
         d = jnp.clip(hit.t / far, 0.0, 1.0)
         return jnp.repeat(d[:, None], 3, -1)
     if mode == D_D3D_DEPTH:
-        near, far = 1.0, vm.length(scene.world_hi - scene.world_lo)
+        near, far = 1.0, 2.0 * vm.length(scene.world_hi - scene.world_lo)
         z = hit.t
         d = (far / (far - near)) * (1.0 - near / jnp.maximum(z, 1e-6))
         return jnp.repeat(jnp.clip(d, 0, 1)[:, None], 3, -1)

@@ -124,3 +124,26 @@ class TestSmallMath:
                                                               jnp.asarray(0.05), jnp.asarray(0.1)))
         assert 0.0 <= e_lo < 0.3
         assert e_gr > e_lo  # grazing reflects more
+
+
+def test_incremental_transform_update():
+    """Move a node, refit, and verify the render tracks the new position."""
+    from cudatracerlib_tpu.utils import example_scenes, transforms as tf
+    from cudatracerlib_tpu.models import prim
+    sc = example_scenes.cornell_box(32, 32, spheres=True)
+    scene = sc.build()
+    tr0 = prim.PrimTracer(scene, 32, 32, draw_mode=prim.D_NORMAL_SHADE)
+    img0 = np.asarray(tr0.render(1))
+    # move the sphere node (index 6 in cornell_box construction order) up
+    sphere_id = next(i for i, n in enumerate(sc._nodes) if n.name == "sphere")
+    moved = sc.update_transforms(scene, {sphere_id: tf.translate([-0.4, 0.2, 0.3])})
+    tr1 = prim.PrimTracer(moved, 32, 32, draw_mode=prim.D_NORMAL_SHADE)
+    img1 = np.asarray(tr1.render(1))
+    assert np.abs(img1 - img0).max() > 0.01  # the image changed
+    # sphere no longer occupies its old lower-left region
+    assert img1[22:26, 8:12].mean() != img0[22:26, 8:12].mean()
+    # and traversal stays consistent with a full rebuild at the new pose
+    rebuilt = sc.build()
+    tr2 = prim.PrimTracer(rebuilt, 32, 32, draw_mode=prim.D_NORMAL_SHADE)
+    img2 = np.asarray(tr2.render(1))
+    np.testing.assert_allclose(img1, img2, atol=5e-3)
