@@ -115,9 +115,55 @@ def diffuse_albedo(ctx: bsdfmod.BsdfCtx) -> Array:
     return jnp.where(use_c1[:, None], ctx.c1, ctx.c0)
 
 
+def transmittance_det(scene: schema.SceneData, o, d, t_max, n_steps: int = 16):
+    """Deterministic quadrature transmittance along segments (matches the
+    volumetric estimator's marching)."""
+    dt = t_max / n_steps
+    tau = jnp.zeros((o.shape[0], 3))
+    for k in range(n_steps):
+        p_k = o + d * ((k + 0.5) * dt)[:, None]
+        sig_a, sig_s, _, _ = mediummod.sigma_at(scene.media, p_k)
+        tau = tau + dt[:, None] * (sig_a + sig_s)
+    return jnp.exp(-tau)
+
+
+def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
+                        o, d, t_max, radius, n_steps: int = 16):
+    """Ray-march in-scattered radiance from the medium photon map along
+    camera segments (reference PointStorage::L_Volume ray-marched gather):
+    L = sum_k dt * T(0,t_k) * sum_p K3(|x_k - x_p|, r) beta_p phase(w_p -> -d).
+    Transmittance accumulates deterministically from sigma_t at the samples."""
+    B = o.shape[0]
+    dt = t_max / n_steps
+    L = jnp.zeros((B, 3))
+    tau = jnp.zeros((B, 3))
+    r_lane = jnp.full(B, radius)
+    for k in range(n_steps):
+        t_k = (k + 0.5) * dt
+        p_k = o + d * t_k[:, None]
+        sig_a, sig_s, ptype, g = mediummod.sigma_at(scene.media, p_k)
+        T = jnp.exp(-(tau + 0.5 * dt[:, None] * (sig_a + sig_s)))
+
+        def accum(carry, rows, mask):
+            ph_pow, ph_wi = rows[:, 3:6], rows[:, 6:9]
+            is_med = jnp.all(rows[:, 9:12] == 0.0, axis=-1)  # medium photons
+            ok = mask & is_med
+            dist = jnp.sqrt(jnp.maximum(jnp.sum((rows[:, 0:3] - p_k) ** 2, -1), 0.0))
+            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=3)
+            ph = phasemod.eval_phase(ptype, g, ph_wi, -d)
+            return carry + jnp.where(ok[:, None], ph_pow * (kw * ph)[:, None], 0.0)
+
+        inscatter = hashgrid.gather_neighbors(grid, p_k, r_lane, accum,
+                                              jnp.zeros((B, 3)), max_per_cell=4)
+        L = L + T * inscatter * dt[:, None]
+        tau = tau + dt[:, None] * (sig_a + sig_s)
+    return L
+
+
 def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGrid,
              pass_idx, w: int, h: int, radius, n_emitted: float, max_depth: int,
-             active_types, kernel_type: int = kernelsmod.PERLIN) -> filmmod.Film:
+             active_types, kernel_type: int = kernelsmod.PERLIN,
+             with_volume: bool = False) -> filmmod.Film:
     """Camera walk to the first smooth vertex (through specular chains), then
     one density-estimation gather at that vertex. Direct emission is added
     analytically (hit emitters / env)."""
@@ -137,6 +183,11 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     for depth in range(max_depth):
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
         hit = traversal8.intersect_scene(scene.geom, trace_rays)
+        if with_volume:
+            # attenuate eye throughput through the medium on this segment
+            t_seg = jnp.where(hit.valid, hit.t,
+                              2.0 * jnp.max(scene.world_hi - scene.world_lo))
+            beta = beta * transmittance_det(scene, rays.o, rays.d, t_seg)
         miss = active & ~hit.valid
         env = lightsmod.eval_environment(scene, rays.d)
         L = L + jnp.where(miss[:, None], beta * env, 0.0)
@@ -178,6 +229,14 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     flux = hashgrid.gather_neighbors(grid, gv_p, r_lane, accum, jnp.zeros((B, 3)))
     Lg = gv_albedo * inv_pi * flux
     L = L + jnp.where(gathered[:, None], gv_beta * Lg, 0.0)
+
+    if with_volume:
+        # in-scattered radiance along the primary segment
+        rays0, _, _, _, _ = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
+        hit0 = traversal8.intersect_scene(scene.geom, rays0)
+        t1 = jnp.where(hit0.valid, hit0.t, 2.0 * jnp.max(scene.world_hi - scene.world_lo))
+        # radius must stay <= grid cell/2 for the 2x2x2 neighborhood query
+        L = L + volumetric_radiance(scene, grid, rays0.o, rays0.d, t1, radius)
     return filmmod.add_samples(film, px, py, L * wt)
 
 
@@ -203,12 +262,14 @@ class PPMTracer(tracer.TracerBase):
             initial_radius = diag * 0.01
         self.radius = float(initial_radius)
         self.photons_emitted = 0
+        self.with_volume = mediummod.has_media(scene.media)
         self._trace_jit = jax.jit(partial(
             trace_photons, n_photons=self.n_photons, state_seed=jnp.uint32(0x9907),
-            max_depth=max_depth, active_types=self.active_types))
+            max_depth=max_depth, active_types=self.active_types,
+            store_medium=self.with_volume))
         self._eye_jit = jax.jit(partial(
             eye_pass, w=width, h=height, max_depth=max_depth,
-            active_types=self.active_types))
+            active_types=self.active_types, with_volume=self.with_volume))
 
     def render_pass(self, scene, film, pass_idx):
         import numpy as np

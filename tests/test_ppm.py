@@ -1,4 +1,5 @@
 """Progressive photon mapping: PT agreement + radius schedule + grid ops."""
+import os
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,3 +53,21 @@ def test_radius_schedule():
     assert pm.radius < r0
     st = pm.status()
     assert st["photons_emitted"] == 3 * 16 * 16
+
+
+def test_ppm_volumetric_estimator():
+    """Medium photons + ray-marched gather approximate PT on a scattering slab
+    (primary-segment estimator: agreement within ~20%)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_media import _slab_scene
+    scene = _slab_scene((0.05,) * 3, (0.8,) * 3, g=0.0, emitter_radiance=3.0)
+    pm = ppmmod.PPMTracer(scene, 24, 24, max_depth=5, initial_radius=0.25,
+                          n_photons=4096)
+    assert pm.with_volume
+    img_pm = np.asarray(pm.render(12))
+    from cudatracerlib_tpu.models import path as pathmod2
+    img_pt = np.asarray(pathmod2.PathTracer(scene, 24, 24, max_depth=8,
+                                            spp_per_pass=1).render(32))
+    ratio = img_pm[8:16, 8:16].mean() / img_pt[8:16, 8:16].mean()
+    assert 0.7 < ratio < 1.25, ratio
