@@ -185,3 +185,91 @@ def load_md5mesh(path: str):
     mesh = SkinnedMesh(rest_pos=pos, faces=np.asarray(tris, np.int32),
                        bone_ids=bone_ids, bone_wts=bone_wts, uv=uv)
     return mesh, Skeleton(parents=parents, bind_inv=bind_inv)
+
+
+def _quat_w(q3):
+    t = 1.0 - float(np.dot(q3, q3))
+    return -np.sqrt(max(t, 0.0))
+
+
+def _quat_to_mat(q3, pos):
+    x, y, z = q3
+    w = _quat_w(q3)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = [[1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                 [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                 [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]]
+    m[:3, 3] = pos
+    return m
+
+
+class MD5Anim(NamedTuple):
+    frame_rate: float
+    parents: np.ndarray          # (J,)
+    base_pos: np.ndarray         # (J, 3)
+    base_quat: np.ndarray        # (J, 3)
+    flags: np.ndarray            # (J,)
+    start_index: np.ndarray      # (J,)
+    frames: np.ndarray           # (F, n_components)
+
+    @property
+    def n_frames(self):
+        return self.frames.shape[0]
+
+    def joint_locals(self, frame: int) -> np.ndarray:
+        """(J, 4, 4) local joint matrices for one frame."""
+        comp = self.frames[frame % self.n_frames]
+        J = self.parents.shape[0]
+        mats = np.zeros((J, 4, 4), np.float32)
+        for j in range(J):
+            pos = self.base_pos[j].copy()
+            q = self.base_quat[j].copy()
+            idx = int(self.start_index[j])
+            fl = int(self.flags[j])
+            for bit, target in ((0, ("p", 0)), (1, ("p", 1)), (2, ("p", 2)),
+                                (3, ("q", 0)), (4, ("q", 1)), (5, ("q", 2))):
+                if fl & (1 << bit):
+                    kind, c = target
+                    if kind == "p":
+                        pos[c] = comp[idx]
+                    else:
+                        q[c] = comp[idx]
+                    idx += 1
+            mats[j] = _quat_to_mat(q, pos)
+        return mats
+
+
+def load_md5anim(path: str) -> MD5Anim:
+    """Parse an id Tech 4 .md5anim (hierarchy, baseframe, frames)."""
+    text = open(path, "r", errors="replace").read()
+    frame_rate = float(re.search(r"frameRate\s+(\d+)", text).group(1))
+    parents, flags, starts = [], [], []
+    hm = re.search(r"hierarchy\s*\{(.*?)\}", text, re.S)
+    for line in hm.group(1).splitlines():
+        m = re.match(r'\s*"[^"]*"\s+(-?\d+)\s+(\d+)\s+(\d+)', line)
+        if m:
+            parents.append(int(m.group(1)))
+            flags.append(int(m.group(2)))
+            starts.append(int(m.group(3)))
+    bm = re.search(r"baseframe\s*\{(.*?)\}", text, re.S)
+    base_pos, base_quat = [], []
+    for m in re.finditer(r"\(\s*([^\)]*)\)\s*\(\s*([^\)]*)\)", bm.group(1)):
+        base_pos.append([float(x) for x in m.group(1).split()])
+        base_quat.append([float(x) for x in m.group(2).split()])
+    frames = []
+    for fm in re.finditer(r"frame\s+\d+\s*\{(.*?)\}", text, re.S):
+        frames.append([float(x) for x in fm.group(1).split()])
+    return MD5Anim(frame_rate=frame_rate,
+                   parents=np.asarray(parents, np.int32),
+                   base_pos=np.asarray(base_pos, np.float32),
+                   base_quat=np.asarray(base_quat, np.float32),
+                   flags=np.asarray(flags, np.int32),
+                   start_index=np.asarray(starts, np.int32),
+                   frames=np.asarray(frames, np.float32) if frames else
+                   np.zeros((1, 0), np.float32))
+
+
+def pose_at_frame(anim: MD5Anim, skeleton: Skeleton, frame: int) -> np.ndarray:
+    """Skinning matrices (J, 4, 4) for an animation frame."""
+    locals_ = anim.joint_locals(frame)
+    return compose_pose(anim.parents, locals_, skeleton.bind_inv)

@@ -147,3 +147,79 @@ def test_incremental_transform_update():
     tr2 = prim.PrimTracer(rebuilt, 32, 32, draw_mode=prim.D_NORMAL_SHADE)
     img2 = np.asarray(tr2.render(1))
     np.testing.assert_allclose(img1, img2, atol=5e-3)
+
+
+MD5MESH = """MD5Version 10
+numJoints 2
+numMeshes 1
+joints {
+\t"root" -1 ( 0 0 0 ) ( 0 0 0 )
+\t"arm" 0 ( 1 0 0 ) ( 0 0 0 )
+}
+mesh {
+\tnumverts 4
+\tvert 0 ( 0 0 ) 0 1
+\tvert 1 ( 1 0 ) 0 1
+\tvert 2 ( 0 1 ) 1 1
+\tvert 3 ( 1 1 ) 1 1
+\tnumtris 2
+\ttri 0 0 1 2
+\ttri 1 1 3 2
+\tnumweights 2
+\tweight 0 0 1.0 ( 0 0 0 )
+\tweight 1 1 1.0 ( 1 0 0 )
+}
+"""
+
+MD5ANIM = """MD5Version 10
+frameRate 24
+numFrames 2
+numJoints 2
+numAnimatedComponents 3
+hierarchy {
+\t"root" -1 0 0
+\t"arm" 0 7 0
+}
+bounds {
+\t( -1 -1 -1 ) ( 3 3 3 )
+\t( -1 -1 -1 ) ( 3 3 3 )
+}
+baseframe {
+\t( 0 0 0 ) ( 0 0 0 )
+\t( 1 0 0 ) ( 0 0 0 )
+}
+frame 0 {
+\t1 0 0
+}
+frame 1 {
+\t1 1 0
+}
+"""
+
+
+def test_md5_mesh_and_anim(tmp_path):
+    mp = tmp_path / "m.md5mesh"
+    mp.write_text(MD5MESH)
+    ap = tmp_path / "a.md5anim"
+    ap.write_text(MD5ANIM)
+    mesh, skel = animation.load_md5mesh(str(mp))
+    assert mesh.rest_pos.shape == (4, 3)
+    # vert0 at root origin; vert2 = arm joint (1,0,0) + offset (1,0,0)
+    np.testing.assert_allclose(mesh.rest_pos[0], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(mesh.rest_pos[2], [2, 0, 0], atol=1e-6)
+
+    anim = animation.load_md5anim(str(ap))
+    assert anim.n_frames == 2 and anim.frame_rate == 24
+    # frame 0: same as bind pose -> identity skinning
+    mats0 = animation.pose_at_frame(anim, skel, 0)
+    out0 = np.asarray(animation.skin_vertices(
+        np.asarray(mesh.rest_pos), np.asarray(mesh.bone_ids),
+        np.asarray(mesh.bone_wts), np.asarray(mats0)))
+    np.testing.assert_allclose(out0, mesh.rest_pos, atol=1e-5)
+    # frame 1: arm translated +y -> arm-weighted verts move by (0,1,0)
+    mats1 = animation.pose_at_frame(anim, skel, 1)
+    out1 = np.asarray(animation.skin_vertices(
+        np.asarray(mesh.rest_pos), np.asarray(mesh.bone_ids),
+        np.asarray(mesh.bone_wts), np.asarray(mats1)))
+    np.testing.assert_allclose(out1[0], mesh.rest_pos[0], atol=1e-5)
+    np.testing.assert_allclose(out1[2], mesh.rest_pos[2] + [0, 1, 0], atol=1e-5)
