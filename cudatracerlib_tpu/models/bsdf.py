@@ -205,7 +205,19 @@ def _conductor_sample(ctx, wi, u):
 
 
 def _dielectric_sample(ctx, wi, u):
-    eta = ctx.params[:, 4]
+    # dispersion: params[23] > 0 = Cauchy B coefficient (um^2). A channel is
+    # chosen by roulette and the path continues monochromatically (weight x3
+    # on that channel), producing spectral caustics like the reference's
+    # DispersionCauchy (SceneTypes/Dispersion.h).
+    disp_b = ctx.params[:, 23]
+    eta_base = ctx.params[:, 4]
+    dispersive = disp_b > 0.0
+    lam2 = jnp.asarray([0.610 ** 2, 0.550 ** 2, 0.465 ** 2])  # um^2, RGB
+    eta_rgb = eta_base[:, None] + disp_b[:, None] / lam2[None, :]
+    chan = jnp.clip((u[..., 2] * 3.0).astype(jnp.int32), 0, 2)
+    oh = jnp.arange(3)[None, :] == chan[:, None]
+    eta_chan = jnp.sum(jnp.where(oh, eta_rgb, 0.0), axis=1)
+    eta = jnp.where(dispersive, eta_chan, eta_base)
     F, cos_t = fresnel.fresnel_dielectric_ext(wi[..., 2], eta)
     reflect = u[..., 0] < F
     wo_r = _mirror(wi)
@@ -216,6 +228,10 @@ def _dielectric_sample(ctx, wi, u):
     factor = jnp.where(cos_t < 0, 1.0 / eta, eta)
     w_t = ctx.c1 * (factor * factor)[..., None]
     weight = jnp.where(reflect[..., None], ctx.c0, w_t)
+    # dispersive lanes are monochromatic either way (F is channel-dependent):
+    # isolate the sampled channel with x3 roulette compensation
+    chan_mask = jnp.where(oh, 3.0, 0.0)
+    weight = jnp.where(dispersive[..., None], weight * chan_mask, weight)
     stype = jnp.where(reflect, records.T_DELTA_REFLECTION, records.T_DELTA_TRANSMISSION)
     eta_out = jnp.where(reflect, 1.0, jnp.where(cos_t < 0, eta, 1.0 / eta))
     pdf = jnp.where(reflect, F, 1.0 - F)

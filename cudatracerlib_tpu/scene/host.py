@@ -60,6 +60,7 @@ class MaterialSpec:
     phase_g: float = 0.0                     # hk phase
     thickness: float = 1.0                   # hk / coating layer thickness
     blend_weight: float = 0.5                # blend
+    dispersion_b: float = 0.0                # Cauchy B (um^2): >0 = dispersive dielectric
     nested: Optional["MaterialSpec"] = None  # coating/blend inner bsdf
     nested2: Optional["MaterialSpec"] = None  # blend second bsdf
     # texture slots (None = use the constant tuples above)
@@ -105,6 +106,7 @@ def _pack_material(spec: MaterialSpec, mats: list, texs: list) -> int:
     p[18] = spec.blend_weight
     p[19:22] = spec.transmittance
     p[22] = 1.0 if spec.two_sided else 0.0
+    p[23] = spec.dispersion_b
     # sigma_s/sigma_a for hk share the color slots (c0/c1) by convention
     row = dict(mat_type=spec.bsdf_type, params=p,
                tex=np.array([tex_id(spec.tex_reflectance), tex_id(spec.tex_transmittance),

@@ -606,10 +606,14 @@ def _parse_scene_emitter(elem, ctx: _Ctx, sc: host.DynamicScene):
         sc.set_environment(img, scale=(float(props.get("scale", 1)),) * 3,
                            to_world=props.get("toWorld", None))
     elif etype in ("sky", "sunsky"):
-        # simple gradient sky stand-in (full Preetham model planned)
-        h_ = 64
-        v = np.linspace(0, 1, h_)[:, None, None]
-        sky = (np.array([0.35, 0.55, 0.95]) * (1 - v * 0.6)
-               + np.array([0.9, 0.9, 0.85]) * v * 0.4)
-        sc.set_environment(np.broadcast_to(sky, (h_, 2 * h_, 3)).astype(np.float32) *
-                           float(props.get("scale", 1)))
+        from .. import sunsky
+        sun_dir = props.get("sunDirection", None)
+        if sun_dir is None:
+            # hour/latitude support can layer on; default: mid-morning sun
+            sun_dir = (0.35, 0.7, 0.45)
+        img = sunsky.preetham_sky(
+            sun_dir, turbidity=float(props.get("turbidity", 3.0)),
+            with_sun=(etype == "sunsky"),
+            sky_scale=float(props.get("scale", 1.0)),
+            sun_scale=float(props.get("sunScale", 1.0)))
+        sc.set_environment(img)

@@ -1,4 +1,5 @@
 """Alpha masks + bump mapping through the path tracer."""
+import os
 import numpy as np
 
 from cudatracerlib_tpu.models import path as pathmod
@@ -100,3 +101,41 @@ def test_mipmap_trilinear():
     # fine level: binary texels; coarse: averaged to ~0.5
     assert np.asarray(fine).std() > 0.3
     np.testing.assert_allclose(np.asarray(coarse), 0.5, atol=0.05)
+
+
+def test_dispersive_glass_channels():
+    """Dispersive dielectric: monochromatic transmission, blue bends more."""
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_bsdf import _make_ctx
+    from cudatracerlib_tpu.models import bsdf as bsdfmod
+    spec = host.MaterialSpec(bsdf_type=schema.BSDF_DIELECTRIC, eta=1.45,
+                             dispersion_b=0.02, two_sided=False)
+    B = 20000
+    ctx = _make_ctx(spec, B)
+    wi = jnp.tile(jnp.asarray([[0.6, 0.0, 0.8]]), (B, 1))
+    u = jnp.asarray(np.random.default_rng(0).random((B, 3)), np.float32)
+    s = bsdfmod.sample(ctx, wi, u, active_types=(schema.BSDF_DIELECTRIC,))
+    w = np.asarray(s.weight)
+    assert ((w > 0).sum(1) == 1).all()  # every sample is single-channel
+    trans = np.asarray(s.wo[:, 2]) < 0
+    wo = np.asarray(s.wo)[trans]
+    wt = w[trans]
+    x_red = wo[wt[:, 0] > 0][:, 0].mean()
+    x_blue = wo[wt[:, 2] > 0][:, 0].mean()
+    assert x_blue > x_red  # higher IOR -> refracts closer to the normal
+    # roulette compensation keeps energy right: E[w_c] ~ equal across channels
+    m = w.mean(0)
+    assert m.max() / m.min() < 1.2
+
+
+def test_preetham_sunsky():
+    from cudatracerlib_tpu.scene import sunsky
+    img = sunsky.preetham_sky((0.4, 0.6, 0.4), turbidity=3.0, resolution=32)
+    assert img.shape == (32, 64, 3) and np.isfinite(img).all()
+    zen = img[1].mean(0)
+    assert zen[2] > zen[0]            # blue zenith
+    assert img.max() > 100            # sun disc present
+    no_sun = sunsky.preetham_sky((0.4, 0.6, 0.4), with_sun=False, resolution=32)
+    assert no_sun.max() < 50
