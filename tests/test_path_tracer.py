@@ -101,3 +101,32 @@ class TestRegularization:
         assert np.isfinite(reg).all()
         # images must stay broadly consistent (regularization bias is small)
         assert abs(reg.mean() - plain.mean()) / plain.mean() < 0.25
+
+
+class TestEnvImportance:
+    def test_env_nee_matches_bsdf_sampling(self):
+        """Env-map CDF importance sampling agrees with BSDF-only sampling."""
+        from cudatracerlib_tpu.scene import host, schema, sensors, shapes
+        from cudatracerlib_tpu.utils import transforms as tf
+        env = np.full((32, 64, 3), 0.05, np.float32)
+        env[8:16, 10:20] = (8.0, 6.0, 2.0)
+        sc = host.DynamicScene()
+        white = sc.add_material(host.MaterialSpec(reflectance=(0.7, 0.7, 0.7)))
+        sc.create_node(shapes.rectangle(), white,
+                       tf.compose(tf.rotate_deg([1, 0, 0], -90), tf.scale(3)))
+        sc.create_node(shapes.sphere(radius=0.4, center=(0, 0.4, 0),
+                                     n_theta=16, n_phi=32), white)
+        sc.set_environment(env)
+        sc.set_sensor(sensors.make_sensor(
+            schema.SENSOR_PERSPECTIVE, tf.look_at([0, 1.2, -3], [0, 0.3, 0]),
+            fov_x_deg=40, film_w=24, film_h=24))
+        scene = sc.build()
+        img_nee = np.asarray(pathmod.PathTracer(scene, 24, 24, max_depth=4,
+                                                spp_per_pass=1).render(48))
+        img_bsdf = np.asarray(pathmod.PathTracer(scene, 24, 24, max_depth=4,
+                                                 use_nee=False, seed=5,
+                                                 spp_per_pass=1).render(144))
+        assert abs(img_nee.mean() - img_bsdf.mean()) / img_bsdf.mean() < 0.06
+        blk = lambda a: a.reshape(6, 4, 6, 4, 3).mean((1, 3))
+        rel = np.abs(blk(img_nee) - blk(img_bsdf)) / (blk(img_bsdf) + 0.02)
+        assert np.median(rel) < 0.1
