@@ -184,9 +184,14 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
         hit = traversal8.intersect_scene(scene.geom, trace_rays)
         if with_volume:
-            # attenuate eye throughput through the medium on this segment
             t_seg = jnp.where(hit.valid, hit.t,
                               2.0 * jnp.max(scene.world_hi - scene.world_lo))
+            # in-scattered radiance gathered along this segment (primary
+            # segments get finer marching), then attenuate the throughput
+            n_march = 16 if depth == 0 else 8
+            Lv = volumetric_radiance(scene, grid, rays.o, rays.d, t_seg,
+                                     radius, n_steps=n_march)
+            L = L + jnp.where(active[:, None], beta * Lv, 0.0)
             beta = beta * transmittance_det(scene, rays.o, rays.d, t_seg)
         miss = active & ~hit.valid
         env = lightsmod.eval_environment(scene, rays.d)
@@ -230,13 +235,6 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     Lg = gv_albedo * inv_pi * flux
     L = L + jnp.where(gathered[:, None], gv_beta * Lg, 0.0)
 
-    if with_volume:
-        # in-scattered radiance along the primary segment
-        rays0, _, _, _, _ = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
-        hit0 = traversal8.intersect_scene(scene.geom, rays0)
-        t1 = jnp.where(hit0.valid, hit0.t, 2.0 * jnp.max(scene.world_hi - scene.world_lo))
-        # radius must stay <= grid cell/2 for the 2x2x2 neighborhood query
-        L = L + volumetric_radiance(scene, grid, rays0.o, rays0.d, t1, radius)
     return filmmod.add_samples(film, px, py, L * wt)
 
 
