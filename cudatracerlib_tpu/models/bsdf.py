@@ -73,32 +73,77 @@ class BsdfCtx(NamedTuple):
                              n_type=z, n2_type=z)
 
 
+_NESTED_TYPES = (schema.BSDF_COATING, schema.BSDF_ROUGHCOATING,
+                 schema.BSDF_BLEND)
+
+
+def _bits_f32(a: Array) -> Array:
+    return jax.lax.bitcast_convert_type(a.astype(jnp.int32), jnp.float32)
+
+
+def _bits_i32(a: Array) -> Array:
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _mat_fat_rows(mats: schema.MaterialTable) -> Array:
+    """[type | params(24) | tex(4) | nested | nested2] per material (M, 31).
+
+    Built from the schema tables inside the trace (tiny; hoisted by XLA) so
+    one gather fetches a lane's whole material record."""
+    return jnp.concatenate([
+        _bits_f32(mats.mat_type)[:, None], mats.params, _bits_f32(mats.tex),
+        _bits_f32(mats.nested)[:, None], _bits_f32(mats.nested2)[:, None],
+    ], axis=1)
+
+
 def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
-               uv_footprint: Array | None = None) -> BsdfCtx:
-    """Gather material rows + evaluate textures for a lane batch."""
+               uv_footprint: Array | None = None,
+               active_types=None, with_textures: bool = True) -> BsdfCtx:
+    """Gather material rows + evaluate textures for a lane batch.
+
+    active_types (static) skips the nested-BSDF gathers when no
+    coating/roughcoating/blend material exists; with_textures=False (static)
+    skips texture evaluation entirely (pure parameter colors)."""
     mats, texs = scene.materials, scene.textures
     mid = jnp.maximum(mat_id, 0)
+    fat = _mat_fat_rows(mats)
+    P = schema.N_MAT_PARAMS
 
     def gather_one(rows):
-        t = jnp.take(mats.mat_type, rows)
-        p = jnp.take(mats.params, rows, axis=0)
-        tex_ids = jnp.take(mats.tex, rows, axis=0)
-        c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3], uv_footprint)
-        c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22], uv_footprint)
-        return t, p, c0, c1
+        r = jnp.take(fat, rows, axis=0)
+        t = _bits_i32(r[:, 0])
+        p = r[:, 1:1 + P]
+        if with_textures:
+            tex_ids = _bits_i32(r[:, 1 + P:5 + P])
+            c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3], uv_footprint)
+            c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22], uv_footprint)
+        else:
+            c0, c1 = p[:, 0:3], p[:, 19:22]
+        return r, t, p, c0, c1
 
-    t, p, c0, c1 = gather_one(mid)
-    nrow = jnp.maximum(jnp.take(mats.nested, mid), 0)
-    n2row = jnp.maximum(jnp.take(mats.nested2, mid), 0)
-    nt, np_, nc0, nc1 = gather_one(nrow)
-    n2t, n2p, n2c0, n2c1 = gather_one(n2row)
-    has_n = jnp.take(mats.nested, mid) >= 0
-    has_n2 = jnp.take(mats.nested2, mid) >= 0
-    nt = jnp.where(has_n, nt, schema.BSDF_DIFFUSE)
-    n2t = jnp.where(has_n2, n2t, schema.BSDF_DIFFUSE)
+    r, t, p, c0, c1 = gather_one(mid)
+    has_nested = (active_types is None
+                  or any(at in _NESTED_TYPES for at in active_types))
+    if not has_nested:
+        z = jnp.full_like(t, schema.BSDF_DIFFUSE)
+        return BsdfCtx(mat_type=t, params=p, c0=c0, c1=c1,
+                       n_type=z, n_params=p, n_c0=c0, n_c1=c1,
+                       n2_type=z, n2_params=p, n2_c0=c0, n2_c1=c1)
+    nested = _bits_i32(r[:, 5 + P])
+    nested2 = _bits_i32(r[:, 6 + P])
+    _, nt, np_, nc0, nc1 = gather_one(jnp.maximum(nested, 0))
+    _, n2t, n2p, n2c0, n2c1 = gather_one(jnp.maximum(nested2, 0))
+    nt = jnp.where(nested >= 0, nt, schema.BSDF_DIFFUSE)
+    n2t = jnp.where(nested2 >= 0, n2t, schema.BSDF_DIFFUSE)
     return BsdfCtx(mat_type=t, params=p, c0=c0, c1=c1,
                    n_type=nt, n_params=np_, n_c0=nc0, n_c1=nc1,
                    n2_type=n2t, n2_params=n2p, n2_c0=n2c0, n2_c1=n2c1)
+
+
+def scene_has_textures(scene: schema.SceneData) -> bool:
+    """Host-side static check: any material referencing a texture slot."""
+    import numpy as np
+    return bool(np.any(np.asarray(scene.materials.tex) >= 0))
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,24 @@ def add_samples(film: Film, pixel_x: Array, pixel_y: Array, value: Array,
     return film._replace(rgb=rgb, weight=wsum)
 
 
+def add_samples_range(film: Film, start, value: Array, weight=None) -> Film:
+    """Fast path for contiguous pixel ranges (PT chunks render pixel
+    [start, start+B) in order): a dynamic-slice add instead of a scatter,
+    which TPU lowers far more efficiently."""
+    B = value.shape[0]
+    if weight is None:
+        weight = jnp.ones(B, jnp.float32)
+    value = jnp.where(jnp.isfinite(value), value, 0.0) * weight[:, None]
+    flat_rgb = film.rgb.reshape(-1, 3)
+    cur = jax.lax.dynamic_slice(flat_rgb, (start, 0), (B, 3))
+    flat_rgb = jax.lax.dynamic_update_slice(flat_rgb, cur + value, (start, 0))
+    flat_w = film.weight.reshape(-1)
+    cur_w = jax.lax.dynamic_slice(flat_w, (start,), (B,))
+    flat_w = jax.lax.dynamic_update_slice(flat_w, cur_w + weight, (start,))
+    return film._replace(rgb=flat_rgb.reshape(film.rgb.shape),
+                         weight=flat_w.reshape(film.weight.shape))
+
+
 def splat(film: Film, pixel_x: Array, pixel_y: Array, value: Array,
           mask=None) -> Film:
     if mask is not None:

@@ -54,9 +54,14 @@ def _searchsorted_cdf(cdf: Array, u: Array) -> Array:
 
 
 def _ranged_cdf_search(cdf_flat: Array, first: Array, count: Array, u: Array,
-                       n_steps: int = 32) -> Array:
+                       n_steps: int | None = None) -> Array:
     """Per-lane binary search of u in cdf_flat[first : first+count) (inclusive
-    CDF normalized within the range). Returns absolute index."""
+    CDF normalized within the range). Returns absolute index.
+
+    The step count is static from the table size (log2), not a fixed 32 —
+    each step is one gather, so small shape-sets cost 1-2 gathers."""
+    if n_steps is None:
+        n_steps = max(int(cdf_flat.shape[0] - 1).bit_length(), 1)
     lo = first
     hi = first + count - 1
 
@@ -72,10 +77,41 @@ def _ranged_cdf_search(cdf_flat: Array, first: Array, count: Array, u: Array,
 
 
 def _select_light(lights: schema.LightTable, u: Array):
+    if lights.power_cdf.shape[0] == 1:  # static single-light fast path
+        return jnp.zeros(u.shape, jnp.int32), jnp.ones(u.shape)
     idx = _searchsorted_cdf(lights.power_cdf, u)
     prev = jnp.where(idx > 0, jnp.take(lights.power_cdf, jnp.maximum(idx - 1, 0)), 0.0)
     pdf_sel = jnp.take(lights.power_cdf, idx) - prev
     return idx, jnp.maximum(pdf_sel, 1e-12)
+
+
+def _bits_f32(a: Array) -> Array:
+    return jax.lax.bitcast_convert_type(a.astype(jnp.int32), jnp.float32)
+
+
+def _bits_i32(a: Array) -> Array:
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _light_fat_rows(lights: schema.LightTable) -> Array:
+    """[type | params | al_first | al_count | cdf | cdf_prev] per light row.
+
+    Tiny (L rows); built in-trace and hoisted, so per-lane light records
+    arrive with ONE gather instead of 4-6."""
+    prev = jnp.concatenate([jnp.zeros((1,)), lights.power_cdf[:-1]])
+    return jnp.concatenate([
+        _bits_f32(lights.light_type)[:, None], lights.params,
+        _bits_f32(lights.al_first)[:, None], _bits_f32(lights.al_count)[:, None],
+        lights.power_cdf[:, None], prev[:, None]], axis=1)
+
+
+def _al_tri_rows(scene: schema.SceneData) -> Array:
+    """Area-light triangle fat rows [v0 e1 e2 ng] (AT, 12), one gather per
+    sampled emitter triangle (vs tri-id + tris + ng chained gathers)."""
+    lights = scene.lights
+    trows = jnp.take(scene.geom.tris, lights.al_tris, axis=0)[:, 0:9]
+    ngs = jnp.take(scene.geom.ng, lights.al_tris, axis=0)
+    return jnp.concatenate([trows, ngs], axis=1)
 
 
 def _env_direction_from_uv(lights: schema.LightTable, u_img: Array, v_img: Array):
@@ -96,9 +132,18 @@ def _env_uv_from_direction(lights: schema.LightTable, d: Array):
     return u % 1.0, jnp.clip(v, 0.0, 1.0)
 
 
+def has_env_static(lights: schema.LightTable) -> bool:
+    """Static (shape-level) check for an environment light: the builder emits
+    a 1x1 black placeholder map when no infinite light exists, so any larger
+    map means a real env light. Lets no-env scenes compile zero env code."""
+    return lights.env_map.shape[0] * lights.env_map.shape[1] > 1
+
+
 def eval_environment(scene: schema.SceneData, d: Array) -> Array:
     """Env radiance for escaped rays (KernelDynamicScene::EvalEnvironment)."""
     lights = scene.lights
+    if not has_env_static(lights):
+        return jnp.zeros(d.shape[:-1] + (3,))
     He, We = lights.env_map.shape[0], lights.env_map.shape[1]
     u, v = _env_uv_from_direction(lights, d)
     x = jnp.clip((u * We).astype(jnp.int32), 0, We - 1)
@@ -114,6 +159,8 @@ def eval_environment(scene: schema.SceneData, d: Array) -> Array:
 def _env_pdf_dir(scene: schema.SceneData, d: Array) -> Array:
     """Solid-angle pdf of env importance sampling for direction d."""
     lights = scene.lights
+    if not has_env_static(lights):
+        return jnp.zeros(d.shape[:-1])
     He, We = lights.env_map.shape[0], lights.env_map.shape[1]
     u, v = _env_uv_from_direction(lights, d)
     x = jnp.clip((u * We).astype(jnp.int32), 0, We - 1)
@@ -141,8 +188,10 @@ def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
     state, u_sel = rngmod.next_float(state)
     state, u2 = rngmod.next_float2(state)
     idx, pdf_sel = _select_light(lights, u_sel)
-    ltype = jnp.take(lights.light_type, idx)
-    p = jnp.take(lights.params, idx, axis=0)
+    row = jnp.take(_light_fat_rows(lights), idx, axis=0)
+    NP = schema.N_LIGHT_PARAMS
+    ltype = _bits_i32(row[:, 0])
+    p = row[:, 1:1 + NP]
 
     # --- point ---
     d_pt = p[:, 0:3] - ref_p
@@ -164,15 +213,14 @@ def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
     rop_dist = p[:, 3:6]
 
     # --- area light: sample triangle by area CDF, uniform barycentric ---
-    first = jnp.take(lights.al_first, idx)
-    count = jnp.maximum(jnp.take(lights.al_count, idx), 1)
+    first = _bits_i32(row[:, 1 + NP])
+    count = jnp.maximum(_bits_i32(row[:, 2 + NP]), 1)
     state, u_tri = rngmod.next_float(state)
     ai = _ranged_cdf_search(lights.al_cdf, first, count, u_tri)
-    tri_id = jnp.take(lights.al_tris, ai)
-    trow = jnp.take(scene.geom.tris, tri_id, axis=0)
+    trow = jnp.take(_al_tri_rows(scene), ai, axis=0)
     bary = warp.square_to_uniform_triangle(u2)
     pos_area = (trow[:, 0:3] + trow[:, 3:6] * bary[:, 0:1] + trow[:, 6:9] * bary[:, 1:2])
-    ng = jnp.take(scene.geom.ng, tri_id, axis=0)
+    ng = trow[:, 9:12]
     d_ar = pos_area - ref_p
     dist2_ar = jnp.maximum(vm.length_sqr(d_ar), 1e-12)
     dist_ar = jnp.sqrt(dist2_ar)
@@ -183,18 +231,24 @@ def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
     front = cos_l > 0
     rop_ar = jnp.where(front[..., None], p[:, 3:6] / pdf_ar[..., None], 0.0)
 
-    # --- env: importance-sample the map ---
+    # --- env: importance-sample the map (compiled out when no env light;
+    # the draw always happens so the RNG stream is layout-independent) ---
     state, u_env = rngmod.next_float2(state)
-    He, We = lights.env_map.shape[0], lights.env_map.shape[1]
-    y = _searchsorted_cdf(lights.env_cdf_rows, u_env[:, 0])
-    col_cdf = lights.env_cdf_cols[y]
-    x = jnp.clip(jax.vmap(jnp.searchsorted, in_axes=(0, 0))(col_cdf, u_env[:, 1]), 0, We - 1)
-    u_img = (x.astype(jnp.float32) + 0.5) / We
-    v_img = (y.astype(jnp.float32) + 0.5) / He
-    dir_env, _ = _env_direction_from_uv(lights, u_img, v_img)
-    le_env = lights.env_map[y, x] * p[:, 3:6]
-    pdf_env = jnp.maximum(_env_pdf_dir(scene, dir_env), 1e-12)
-    rop_env = le_env / pdf_env[..., None]
+    if has_env_static(lights):
+        He, We = lights.env_map.shape[0], lights.env_map.shape[1]
+        y = _searchsorted_cdf(lights.env_cdf_rows, u_env[:, 0])
+        col_cdf = lights.env_cdf_cols[y]
+        x = jnp.clip(jax.vmap(jnp.searchsorted, in_axes=(0, 0))(col_cdf, u_env[:, 1]), 0, We - 1)
+        u_img = (x.astype(jnp.float32) + 0.5) / We
+        v_img = (y.astype(jnp.float32) + 0.5) / He
+        dir_env, _ = _env_direction_from_uv(lights, u_img, v_img)
+        le_env = lights.env_map[y, x] * p[:, 3:6]
+        pdf_env = jnp.maximum(_env_pdf_dir(scene, dir_env), 1e-12)
+        rop_env = le_env / pdf_env[..., None]
+    else:
+        dir_env = dir_pt
+        pdf_env = jnp.ones(B)
+        rop_env = jnp.zeros((B, 3))
     world_rad = jnp.maximum(p[:, 7], vm.length(scene.world_hi - scene.world_lo))
 
     # --- select by type ---
@@ -242,9 +296,10 @@ def pdf_hit_emitter_direct(scene: schema.SceneData, light_id: Array,
     """Solid-angle pdf that NEE would have sampled this hit point on this area
     light (incl. light selection) — for BSDF-side MIS weights."""
     lid = jnp.maximum(light_id, 0)
-    p = jnp.take(scene.lights.params, lid, axis=0)
-    prev = jnp.where(lid > 0, jnp.take(scene.lights.power_cdf, jnp.maximum(lid - 1, 0)), 0.0)
-    pdf_sel = jnp.maximum(jnp.take(scene.lights.power_cdf, lid) - prev, 1e-12)
+    NP = schema.N_LIGHT_PARAMS
+    row = jnp.take(_light_fat_rows(scene.lights), lid, axis=0)
+    p = row[:, 1:1 + NP]
+    pdf_sel = jnp.maximum(row[:, 3 + NP] - row[:, 4 + NP], 1e-12)
     d = hit_p - ref_p
     dist2 = jnp.maximum(vm.length_sqr(d), 1e-12)
     cos_l = vm.dot(ng, -d) * jax.lax.rsqrt(dist2)
@@ -256,6 +311,8 @@ def pdf_hit_emitter_direct(scene: schema.SceneData, light_id: Array,
 def pdf_env_direct(scene: schema.SceneData, d: Array) -> Array:
     """Solid-angle pdf that NEE would have sampled direction d on the env map."""
     lights = scene.lights
+    if not has_env_static(lights):
+        return jnp.zeros(d.shape[:-1])
     has_env = jnp.any(lights.light_type == schema.LIGHT_INFINITE)
     env_row = jnp.argmax(lights.light_type == schema.LIGHT_INFINITE)
     prev = jnp.where(env_row > 0,
@@ -270,8 +327,10 @@ def sample_emitter_ray(scene: schema.SceneData, state: Array) -> tuple:
     lights = scene.lights
     state, u_sel = rngmod.next_float(state)
     idx, pdf_sel = _select_light(lights, u_sel)
-    ltype = jnp.take(lights.light_type, idx)
-    p = jnp.take(lights.params, idx, axis=0)
+    row = jnp.take(_light_fat_rows(lights), idx, axis=0)
+    NP = schema.N_LIGHT_PARAMS
+    ltype = _bits_i32(row[:, 0])
+    p = row[:, 1:1 + NP]
     B = u_sel.shape[0]
     state, u_pos = rngmod.next_float2(state)
     state, u_dir = rngmod.next_float2(state)
@@ -310,15 +369,14 @@ def sample_emitter_ray(scene: schema.SceneData, state: Array) -> tuple:
     pdfd_dist = jnp.ones(B)
 
     # area: position by area CDF + cosine direction
-    first = jnp.take(lights.al_first, idx)
-    count = jnp.maximum(jnp.take(lights.al_count, idx), 1)
+    first = _bits_i32(row[:, 1 + NP])
+    count = jnp.maximum(_bits_i32(row[:, 2 + NP]), 1)
     state, u_tri = rngmod.next_float(state)
     ai = _ranged_cdf_search(lights.al_cdf, first, count, u_tri)
-    tri_id = jnp.take(lights.al_tris, ai)
-    trow = jnp.take(scene.geom.tris, tri_id, axis=0)
+    trow = jnp.take(_al_tri_rows(scene), ai, axis=0)
     bary = warp.square_to_uniform_triangle(u_pos)
     o_ar = trow[:, 0:3] + trow[:, 3:6] * bary[:, 0:1] + trow[:, 6:9] * bary[:, 1:2]
-    ng = jnp.take(scene.geom.ng, tri_id, axis=0)
+    ng = trow[:, 9:12]
     local = warp.square_to_cosine_hemisphere(u_dir)
     fr_t, fr_s = vm.coordinate_system(ng)
     d_ar = fr_t * local[:, 0:1] + fr_s * local[:, 1:2] + ng * local[:, 2:3]
@@ -328,23 +386,31 @@ def sample_emitter_ray(scene: schema.SceneData, state: Array) -> tuple:
     pdfd_ar = warp.square_to_cosine_hemisphere_pdf(local)
 
     # env: direction from map (pointing into the scene), origin on far disk
-    He, We = lights.env_map.shape[0], lights.env_map.shape[1]
-    y = _searchsorted_cdf(lights.env_cdf_rows, u_dir[:, 0])
-    col_cdf = lights.env_cdf_cols[y]
-    x = jnp.clip(jax.vmap(jnp.searchsorted, in_axes=(0, 0))(col_cdf, u_dir[:, 1]), 0, We - 1)
-    u_img = (x.astype(jnp.float32) + 0.5) / We
-    v_img = (y.astype(jnp.float32) + 0.5) / He
-    d_from_env, _ = _env_direction_from_uv(lights, u_img, v_img)
-    d_env = -d_from_env  # radiance flows opposite the "direction to env"
-    le_env = lights.env_map[y, x] * p[:, 3:6]
-    pdf_env_d = jnp.maximum(_env_pdf_dir(scene, d_from_env), 1e-12)
-    e1, e2 = vm.coordinate_system(d_env)
-    disk_e = warp.square_to_uniform_disk_concentric(u_pos) * world_r
-    o_env = (world_c - d_env * world_r[..., None] + e1 * disk_e[:, 0:1] + e2 * disk_e[:, 1:2])
-    area_e = jnp.pi * world_r * world_r
-    w_env = le_env * (area_e / pdf_env_d)[..., None]
-    pdfp_env = 1.0 / area_e * jnp.ones(B)
-    pdfd_env = pdf_env_d
+    if has_env_static(lights):
+        He, We = lights.env_map.shape[0], lights.env_map.shape[1]
+        y = _searchsorted_cdf(lights.env_cdf_rows, u_dir[:, 0])
+        col_cdf = lights.env_cdf_cols[y]
+        x = jnp.clip(jax.vmap(jnp.searchsorted, in_axes=(0, 0))(col_cdf, u_dir[:, 1]), 0, We - 1)
+        u_img = (x.astype(jnp.float32) + 0.5) / We
+        v_img = (y.astype(jnp.float32) + 0.5) / He
+        d_from_env, _ = _env_direction_from_uv(lights, u_img, v_img)
+        d_env = -d_from_env  # radiance flows opposite the "direction to env"
+        le_env = lights.env_map[y, x] * p[:, 3:6]
+        pdf_env_d = jnp.maximum(_env_pdf_dir(scene, d_from_env), 1e-12)
+        e1, e2 = vm.coordinate_system(d_env)
+        disk_e = warp.square_to_uniform_disk_concentric(u_pos) * world_r
+        o_env = (world_c - d_env * world_r[..., None] + e1 * disk_e[:, 0:1] + e2 * disk_e[:, 1:2])
+        area_e = jnp.pi * world_r * world_r
+        w_env = le_env * (area_e / pdf_env_d)[..., None]
+        pdfp_env = 1.0 / area_e * jnp.ones(B)
+        pdfd_env = pdf_env_d
+    else:
+        d_env = d_pt
+        o_env = o_pt
+        le_env = jnp.zeros((B, 3))
+        w_env = jnp.zeros((B, 3))
+        pdfp_env = jnp.ones(B)
+        pdfd_env = jnp.ones(B)
 
     is_pt = ltype == schema.LIGHT_POINT
     is_spot = ltype == schema.LIGHT_SPOT

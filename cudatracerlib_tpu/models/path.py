@@ -38,7 +38,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 active_types: Sequence[int] = bsdfmod.ALL_TYPES,
                 with_media: bool | None = None, with_alpha: bool = False,
                 with_bump: bool = False, regularize: bool = False,
-                regularize_alpha: float = 0.08):
+                regularize_alpha: float = 0.08, with_textures: bool = True):
     """Estimate radiance along each lane's camera ray. Returns (L, state).
 
     with_media toggles participating-media handling (medium distance sampling
@@ -116,7 +116,9 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
         # --- surface shading setup ---
         footprint = cone * hit.t * si.uv_density
-        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv, footprint)
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv, footprint,
+                                 active_types=active_types,
+                                 with_textures=with_textures)
         if regularize:
             ctx = bsdfmod.regularize_ctx(ctx, had_smooth, regularize_alpha)
         frame = si.frame()
@@ -220,6 +222,7 @@ class PathTracer(tracer.TracerBase):
         self.active_types = tuple(active_types)
         self.with_alpha = bsdfmod.scene_has_alpha(scene)
         self.with_bump = bsdfmod.scene_has_bump(scene)
+        self.with_textures = bsdfmod.scene_has_textures(scene)
         self.chunk_size = min(chunk_size, width * height)
         n_chunks = (width * height + self.chunk_size - 1) // self.chunk_size
         self._n_chunks = n_chunks
@@ -228,7 +231,7 @@ class PathTracer(tracer.TracerBase):
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
             spp=spp_per_pass, active_types=self.active_types,
             with_alpha=self.with_alpha, with_bump=self.with_bump,
-            regularize=regularize))
+            regularize=regularize, with_textures=self.with_textures))
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
@@ -252,8 +255,10 @@ def scene_active_types(scene: schema.SceneData):
 def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
-              with_bump: bool = False, regularize: bool = False) -> filmmod.Film:
-    base = chunk_idx * chunk
+              with_bump: bool = False, regularize: bool = False,
+              with_textures: bool = True) -> filmmod.Film:
+    contiguous = (w * h) % chunk == 0
+    base = (chunk_idx * chunk) % (w * h)
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
     for s_i in range(spp):
         sample_idx = pass_idx * spp + s_i
@@ -261,6 +266,11 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
             scene, pixel_idx, sample_idx, pass_idx, w, h)
         L, state = pt_radiance(scene, rays, state, max_depth, rr_depth,
                                use_nee, active_types, with_alpha=with_alpha,
-                               with_bump=with_bump, regularize=regularize)
+                               with_bump=with_bump, regularize=regularize,
+                               with_textures=with_textures)
+        # measured on v5e: XLA's scatter-add here is FASTER than a
+        # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes),
+        # so the contiguous fast path is not used
+        del contiguous
         film = filmmod.add_samples(film, px, py, L * wt)
     return film

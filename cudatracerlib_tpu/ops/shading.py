@@ -48,28 +48,24 @@ class SurfaceInteraction(NamedTuple):
 
 def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
             hit: traversal.Hit, flip_to_ray: bool = True) -> SurfaceInteraction:
+    """One fat-row gather per hit (schema.pack_shade_rows layout): a TPU
+    vector gather costs the same up to 128 f32 of row width, so all shading
+    attributes travel together instead of ~10 separate table gathers."""
     tid = jnp.maximum(hit.tri, 0)
     u, v = hit.u, hit.v
     w = 1.0 - u - v
-    take = lambda a: jnp.take(a, tid, axis=0)
-    n0, n1, n2 = take(geom.n0), take(geom.n1), take(geom.n2)
-    uv0, uv1, uv2 = take(geom.uv0), take(geom.uv1), take(geom.uv2)
+    row = jnp.take(geom.shade, tid, axis=0)          # (B, 32)
+    n0, n1, n2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    uv0, uv1, uv2 = row[:, 9:11], row[:, 11:13], row[:, 13:15]
     ns = vm.normalize(w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
     uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
-    ng = take(geom.ng)
+    ng = row[:, 15:18]
     p = rays.o + rays.d * hit.t[:, None]
-
-    # dpdu from UV parameterization (for anisotropic BSDFs / bump mapping)
-    trow = jnp.take(geom.tris, tid, axis=0)
-    e1, e2 = trow[:, 3:6], trow[:, 6:9]
-    duv1 = uv1 - uv0
-    duv2 = uv2 - uv0
-    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-    dpdu = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
-    degenerate = jnp.abs(det) < 1e-12
-    world_area2 = vm.length(vm.cross(e1, e2))
-    uv_density = jnp.sqrt(jnp.abs(det) / jnp.maximum(world_area2, 1e-20))
+    dpdu = row[:, 18:21]
+    uv_density = row[:, 21]
+    degenerate = row[:, 22] > 0.5
+    mat_id = jax.lax.bitcast_convert_type(row[:, 23], jnp.int32)
+    light_id = jax.lax.bitcast_convert_type(row[:, 24], jnp.int32)
 
     if flip_to_ray:
         flip = vm.dot(ng, rays.d) > 0.0
@@ -92,7 +88,7 @@ def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
         valid=hit.tri >= 0, p=p, t=hit.t, ng=ng, ns=ns, uv=uv,
         frame_t=t_final, frame_s=s_final,
         bary=jnp.stack([u, v], -1),
-        mat_id=take(geom.mat_id), light_id=take(geom.light_id), tri=hit.tri,
+        mat_id=mat_id, light_id=light_id, tri=hit.tri,
         wi=-rays.d, flipped=flip, uv_density=uv_density)
 
 

@@ -23,8 +23,13 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
     uv density); each image picks its mip level from it (trilinear).
     """
     tid = jnp.maximum(tex_id, 0)
-    ttype = jnp.take(tex.tex_type, tid)
-    p = jnp.take(tex.params, tid, axis=0)
+    # one fat-row gather: [type | params | image_id] (width-free on TPU)
+    bits = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32), jnp.float32)
+    fat = jnp.concatenate([bits(tex.tex_type)[:, None], tex.params,
+                           bits(tex.image_id)[:, None]], axis=1)
+    row = jnp.take(fat, tid, axis=0)
+    ttype = jax.lax.bitcast_convert_type(row[:, 0], jnp.int32)
+    p = row[:, 1:1 + tex.params.shape[1]]
     u = uv[..., 0] * p[:, 6] + p[:, 8]
     v = uv[..., 1] * p[:, 7] + p[:, 9]
 
@@ -48,7 +53,8 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
     if uv_footprint is None:
         c_image = _sample_image(tex, tid, u, v)
     else:
-        img_row = jnp.maximum(jnp.take(tex.image_id, tid), 0)
+        img_row = jnp.maximum(
+            jax.lax.bitcast_convert_type(row[:, -1], jnp.int32), 0)
         nm = jnp.take(tex.img_nmips, img_row)
         w0 = jnp.take(tex.img_w[:, 0], img_row).astype(jnp.float32)
         texels_covered = uv_footprint * jnp.abs(p[:, 6]) * w0

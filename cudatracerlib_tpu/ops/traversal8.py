@@ -361,8 +361,20 @@ DEFAULT_RAYS_PER_LANE = 16
 def intersect_scene(geom, rays: Rays, any_hit: bool = False) -> Hit:
     """Production intersector over a GeometryTable (wide fat-row path).
 
-    Uses persistent lanes (K rays per lane) when the batch divides evenly —
-    ~5x over one-ray-per-lane by amortizing the lockstep worst-lane tail."""
+    Dispatch (static, at trace time):
+    - TPU + table fits VMEM -> Pallas on-chip traversal kernel
+      (ops/traversal_pl.py): ~5x the XLA path on Cornell-class scenes by
+      keeping the whole state machine in vregs (no per-iteration dispatch
+      or loop-state round trips).
+    - otherwise -> XLA gather loop with persistent lanes (K rays per lane,
+      amortizing the lockstep worst-lane tail)."""
+    import jax as _jax
+    from . import traversal_pl
+    n_rows = geom.wide.shape[0]
+    on_tpu = _jax.default_backend() not in ("cpu",)
+    if on_tpu and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES:
+        table_t = traversal_pl.prep_table_jnp(geom.wide)
+        return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit)
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,

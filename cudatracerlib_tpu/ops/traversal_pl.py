@@ -1,0 +1,308 @@
+"""Pallas TPU traversal kernel: the whole BVH8 state machine on-chip.
+
+Round-1 profiling showed the jnp while_loop traversal pays a ~50us fixed cost
+per iteration at production lane counts (dispatch + loop-state round trips),
+which dominates Cornell-class scenes; a Pallas kernel runs the same step in
+~0.1-2us because the loop lives on the scalar core and all state stays in
+vregs/VMEM.
+
+Design (measured on v5e, tools/microbench_r2*.py):
+- The unified fat-row table (scene/bvh8.py layout) is stored TRANSPOSED as
+  (128, S*128): S slabs of 128 rows.  A traversal step fetches each lane's
+  row with `tpu.dynamic_gather` (jnp.take_along_axis along lanes), which
+  Mosaic supports when the gathered dim fits one vreg (<=128 lanes) and the
+  index shape matches -> one gather per slab + an S-way select.  The gather
+  output arrives already transposed (attr-major), eliminating the (B,128)
+  transpose the XLA path pays every step.
+- Rays are processed in TILES of 128 lanes; each lane owns K rays in
+  sequence (persistent lanes, like the reference's Aila-Laine queue fetch,
+  `Kernel/TraceHelper.cu:379-427`, rebuilt without atomics); G tiles advance
+  in lockstep interleaved inside one while_loop to hide VPU/gather latency.
+- Per-lane traversal stacks are (D,128) buffers shifted with pltpu.roll
+  (cheap static sublane rotate) instead of scatter.
+- Ray refill uses a single-vreg sublane dynamic_gather over the (K,128)
+  ray block (K<=8).
+
+Semantics identical to ops/traversal8.intersect_wide: closest-hit (t, tri,
+u, v) or any-hit early-out; stack entries pack (row<<8)|unvisited-mask.
+Replaces the reference's persistent-threads megakernel
+(`Kernel/TraceHelper.cu:326-734`) as the production intersector for scenes
+whose table fits VMEM; larger scenes fall back to the XLA gather path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traversal import Hit, Rays, _safe_inv
+
+Array = jax.Array
+
+DONE = -1
+POP = -0x40000000
+LANES = 128
+MAX_SLABS = 16          # tables up to 16*128 rows take the Pallas path
+STACK_D = 16            # per-lane stack depth (2 vregs)
+DEFAULT_K = 8           # rays per lane (sublane gather limit: 8)
+DEFAULT_G = 4           # tiles interleaved per grid program
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
+                     any_hit, K, G, max_iters):
+    """One grid program: advance G tiles of 128 lanes, K rays each."""
+    tb = table_ref[:]                      # (128, S*128)
+    slabs = [tb[:, s * LANES:(s + 1) * LANES] for s in range(n_slabs)]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+    bit8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    bit8 = jnp.int32(1) << bit8
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    j12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANES), 0)
+    inf = jnp.float32(jnp.inf)
+
+    def fetch_row(row_idx):
+        """row_idx (1,128) -> (128,128) gathered rows, attr-major."""
+        ri = jnp.clip(row_idx, 0, n_rows - 1)
+        lo = jnp.broadcast_to(ri & (LANES - 1), (LANES, LANES))
+        hi = ri >> 7                                     # (1,128)
+        rt = jnp.take_along_axis(slabs[0], lo, axis=1)
+        for s in range(1, n_slabs):
+            g = jnp.take_along_axis(slabs[s], lo, axis=1)
+            rt = jnp.where(jnp.broadcast_to(hi == s, (LANES, LANES)), g, rt)
+        return rt
+
+    def tile_init(g):
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]   # (11,K,128)
+        first = [rays_g[a, 0:1, :] for a in range(11)]
+        cur = jnp.full((1, LANES), 0xFF, jnp.int32)
+        sp = jnp.zeros((1, LANES), jnp.int32)
+        kcur = jnp.zeros((1, LANES), jnp.int32)
+        stack = jnp.zeros((STACK_D, LANES), jnp.int32)
+        t_best = first[10]                                    # tmax
+        tri = jnp.full((1, LANES), -1, jnp.int32)
+        uu = jnp.zeros((1, LANES), jnp.float32)
+        vv = jnp.zeros((1, LANES), jnp.float32)
+        outs = (jnp.zeros((K, LANES), jnp.float32),
+                jnp.full((K, LANES), -1, jnp.int32),
+                jnp.zeros((K, LANES), jnp.float32),
+                jnp.zeros((K, LANES), jnp.float32))
+        return (cur, sp, kcur, stack, tuple(first[:10]), t_best, tri, uu, vv,
+                outs)
+
+    def tile_step(g, st):
+        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs) = st
+        ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn = regs
+        is_node = cur >= 0
+        is_leaf = cur <= -2
+        row_idx = jnp.where(is_node, cur >> 8, -2 - cur)
+        rt = fetch_row(row_idx)                               # (128,128)
+
+        # node interpretation: slab-test all 8 children
+        t0x = (rt[0:8] - ox) * ix
+        t1x = (rt[24:32] - ox) * ix
+        t0y = (rt[8:16] - oy) * iy
+        t1y = (rt[32:40] - oy) * iy
+        t0z = (rt[16:24] - oz) * iz
+        t1z = (rt[40:48] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+        links = _i32(rt[48:56])
+        eligible = (tn <= tf) & (links != DONE) & (((cur & 0xFF) & bit8) != 0)
+        t_sel = jnp.where(eligible, tn, inf)
+        tmin_c = jnp.min(t_sel, axis=0, keepdims=True)
+        best_j = jnp.argmin(t_sel, axis=0)[None, :].astype(jnp.int32)
+        has_child = tmin_c < inf
+        oh8 = j8 == best_j
+        link_best = jnp.sum(jnp.where(oh8, links, 0), axis=0, keepdims=True)
+        elig_bits = jnp.sum(jnp.where(eligible, bit8, 0), axis=0, keepdims=True)
+        remaining = elig_bits & ~(jnp.int32(1) << best_j)
+        descend = jnp.where(link_best >= 0, (link_best << 8) | 0xFF, link_best)
+        node_next = jnp.where(has_child, descend, POP)
+        push = is_node & has_child & (remaining != 0)
+        push_val = ((cur >> 8) << 8) | remaining
+
+        # leaf interpretation: Moller-Trumbore on 12 triangles
+        v0x, v0y, v0z = rt[0:12], rt[12:24], rt[24:36]
+        e1x, e1y, e1z = rt[36:48], rt[48:60], rt[60:72]
+        e2x, e2y, e2z = rt[72:84], rt[84:96], rt[96:108]
+        ids = _i32(rt[108:120])
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        tri_ok = ((ids != -1) & (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1.0) & (t > tmn) & (t < t_best))
+        t_tri = jnp.where(tri_ok, t, inf)
+        t_hit = jnp.min(t_tri, axis=0, keepdims=True)
+        oh12 = j12 == jnp.argmin(t_tri, axis=0)[None, :].astype(jnp.int32)
+        leaf_hit = is_leaf & (t_hit < inf)
+        t_best = jnp.where(leaf_hit, t_hit, t_best)
+        tri_b = jnp.where(leaf_hit,
+                          jnp.sum(jnp.where(oh12, ids, 0), axis=0, keepdims=True),
+                          tri_b)
+        u_b = jnp.where(leaf_hit,
+                        jnp.sum(jnp.where(oh12, u, 0.0), axis=0, keepdims=True),
+                        u_b)
+        v_b = jnp.where(leaf_hit,
+                        jnp.sum(jnp.where(oh12, v, 0.0), axis=0, keepdims=True),
+                        v_b)
+
+        # combine / push / pop (stack shifts via sublane roll)
+        nxt = jnp.where(is_node, node_next,
+                        jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
+        if any_hit:
+            nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+        pushed = pltpu.roll(stack, 1, 0)
+        pushed = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (STACK_D, LANES), 0) == 0,
+                           push_val, pushed)
+        stack = jnp.where(push, pushed, stack)
+        sp = sp + push.astype(jnp.int32)
+        want_pop = nxt == POP
+        can_pop = want_pop & (sp > 0)
+        top = stack[0:1]
+        popped_stack = pltpu.roll(stack, STACK_D - 1, 0)
+        stack = jnp.where(can_pop, popped_stack, stack)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        cur = jnp.where(want_pop, jnp.where(can_pop, top, DONE), nxt)
+
+        # completion: record outputs, refill next ray from the tile queue
+        completed = (cur == DONE) & (kcur < K)
+        oh_k = (iota_k == kcur) & completed
+        out_t, out_tri, out_u, out_v = outs
+        out_t = jnp.where(oh_k, t_best, out_t)
+        out_tri = jnp.where(oh_k, tri_b, out_tri)
+        out_u = jnp.where(oh_k, u_b, out_u)
+        out_v = jnp.where(oh_k, v_b, out_v)
+        knext = jnp.where(completed, kcur + 1, kcur)
+        fetch = completed & (knext < K)
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]    # (11,K,128)
+        kidx = jnp.broadcast_to(jnp.clip(knext, 0, K - 1), (K, LANES))
+        new = [jnp.take_along_axis(rays_g[a], kidx, axis=0)[0:1]
+               for a in range(11)]
+        regs = tuple(jnp.where(fetch, new[a], r)
+                     for a, r in enumerate((ox, oy, oz, dx, dy, dz,
+                                            ix, iy, iz, tmn)))
+        t_best = jnp.where(fetch, new[10], t_best)
+        tri_b = jnp.where(fetch, -1, tri_b)
+        u_b = jnp.where(fetch, 0.0, u_b)
+        v_b = jnp.where(fetch, 0.0, v_b)
+        cur = jnp.where(fetch, jnp.int32(0xFF), cur)
+        sp = jnp.where(fetch, 0, sp)
+        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
+                (out_t, out_tri, out_u, out_v))
+
+    def cond(state):
+        it, tiles = state
+        alive = jnp.zeros((), jnp.bool_)
+        for g in range(G):
+            alive = alive | jnp.any(tiles[g][0] != DONE)
+        return (it < max_iters) & alive
+
+    def body(state):
+        it, tiles = state
+        return it + 1, tuple(tile_step(g, tiles[g]) for g in range(G))
+
+    init = (jnp.int32(0), tuple(tile_init(g) for g in range(G)))
+    _, tiles = jax.lax.while_loop(cond, body, init)
+    for g in range(G):
+        out_t, out_tri, out_u, out_v = tiles[g][9]
+        sl = slice(g * LANES, (g + 1) * LANES)
+        out_ref[0, :, sl] = out_t
+        out_ref[1, :, sl] = _f32(out_tri)
+        out_ref[2, :, sl] = out_u
+        out_ref[3, :, sl] = out_v
+
+
+def prep_table(table: np.ndarray) -> np.ndarray:
+    """(R,128) unified fat-row table -> transposed, slab-padded (128, S*128)."""
+    r = table.shape[0]
+    s = max(1, -(-r // LANES))
+    out = np.zeros((128, s * LANES), np.float32)
+    out[:, :r] = table.T
+    return out
+
+
+def prep_table_jnp(table: Array) -> Array:
+    """Traceable prep_table (transpose + pad); CSE'd across calls in one jit."""
+    r = table.shape[0]
+    s = max(1, -(-r // LANES))
+    return jnp.pad(table.T, ((0, 0), (0, s * LANES - r)))
+
+
+@partial(jax.jit, static_argnames=("any_hit", "K", "G", "max_iters"))
+def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
+                     K: int = DEFAULT_K, G: int = DEFAULT_G,
+                     max_iters: int = 4096) -> Hit:
+    """Traverse with the Pallas kernel. table_t must be prep_table() output.
+
+    Rays are padded to a multiple of K*G*128; grid programs each own G tiles.
+    """
+    n_rows = table_t.shape[1]
+    n_slabs = n_rows // LANES
+    assert n_slabs <= MAX_SLABS, "table too large for the Pallas path"
+    N = rays.o.shape[0]
+    block = K * G * LANES
+    Np = -(-N // block) * block
+    pad = Np - N
+
+    inv_d = _safe_inv(rays.d)
+    attrs = jnp.stack([rays.o[:, 0], rays.o[:, 1], rays.o[:, 2],
+                       rays.d[:, 0], rays.d[:, 1], rays.d[:, 2],
+                       inv_d[:, 0], inv_d[:, 1], inv_d[:, 2],
+                       rays.tmin, rays.tmax], axis=0)      # (11, N)
+    if pad:
+        fill = jnp.zeros((11, pad), attrs.dtype)
+        fill = fill.at[5].set(1.0).at[8].set(1.0)          # dz=1 valid dir
+        fill = fill.at[10].set(-1.0)                       # tmax<tmin: no hit
+        attrs = jnp.concatenate([attrs, fill], axis=1)
+    # slot-major: lane b of tile g, slot k handles ray k*(Np/K) + g*128 + b
+    B = Np // K
+    attrs = attrs.reshape(11, K, B)
+
+    n_progs = B // (G * LANES)
+    kern = partial(_traverse_kernel, n_slabs=n_slabs, n_rows=n_rows,
+                   any_hit=any_hit, K=K, G=G, max_iters=max_iters)
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kern,
+        grid=(n_progs,),
+        out_shape=jax.ShapeDtypeStruct((4, K, B), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((128, n_rows), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((11, K, G * LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, K, G * LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(table_t, attrs)
+    t = out[0].reshape(Np)[:N]
+    tri = _i32(out[1]).reshape(Np)[:N]
+    u = out[2].reshape(Np)[:N]
+    v = out[3].reshape(Np)[:N]
+    return Hit(t=t, tri=tri, u=u, v=v)

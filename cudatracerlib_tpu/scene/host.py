@@ -178,13 +178,23 @@ class DynamicScene:
         new_wide = animmod.refit_wide(wide_np, n_node_rows, v0, v1, v2)
         ng = np.cross(v1 - v0, v2 - v0)
         ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+        n0a, n1a, n2a = (np.concatenate(n0s), np.concatenate(n1s),
+                         np.concatenate(n2s))
+        shade = schema.pack_shade_rows(
+            n0a, n1a, n2a,
+            np.asarray(scene_data.geom.uv0), np.asarray(scene_data.geom.uv1),
+            np.asarray(scene_data.geom.uv2), ng, v0, v1, v2,
+            np.asarray(scene_data.geom.mat_id),
+            np.asarray(scene_data.geom.light_id),
+            np.asarray(scene_data.geom.node_id))
         geom = scene_data.geom._replace(
             wide=jnp.asarray(new_wide),
             tris=jnp.asarray(traversal.pack_tris(v0, v1, v2)),
             ng=jnp.asarray(ng.astype(np.float32)),
-            n0=jnp.asarray(np.concatenate(n0s), jnp.float32),
-            n1=jnp.asarray(np.concatenate(n1s), jnp.float32),
-            n2=jnp.asarray(np.concatenate(n2s), jnp.float32))
+            n0=jnp.asarray(n0a, jnp.float32),
+            n1=jnp.asarray(n1a, jnp.float32),
+            n2=jnp.asarray(n2a, jnp.float32),
+            shade=jnp.asarray(shade))
         lo = np.minimum(np.minimum(v0, v1), v2).min(0).astype(np.float32)
         hi = np.maximum(np.maximum(v0, v1), v2).max(0).astype(np.float32)
         return scene_data._replace(geom=geom, world_lo=jnp.asarray(lo),
@@ -299,19 +309,29 @@ class DynamicScene:
         ng = np.cross(v1 - v0, v2 - v0)
         ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
 
+        n0a, n1a, n2a = (np.concatenate(n0s), np.concatenate(n1s),
+                         np.concatenate(n2s))
+        uv0a, uv1a, uv2a = (np.concatenate(uv0s), np.concatenate(uv1s),
+                            np.concatenate(uv2s))
+        mat_a = np.concatenate(mat_ids)
+        light_a = np.concatenate(light_ids)
+        node_a = np.concatenate(node_ids)
+        shade = schema.pack_shade_rows(n0a, n1a, n2a, uv0a, uv1a, uv2a, ng,
+                                       v0, v1, v2, mat_a, light_a, node_a)
         geom = schema.GeometryTable(
             tris=jnp.asarray(tris), nodes=jnp.asarray(b.nodes),
             tri_order=jnp.asarray(b.tri_order), wide=jnp.asarray(wide),
-            n0=jnp.asarray(np.concatenate(n0s), jnp.float32),
-            n1=jnp.asarray(np.concatenate(n1s), jnp.float32),
-            n2=jnp.asarray(np.concatenate(n2s), jnp.float32),
-            uv0=jnp.asarray(np.concatenate(uv0s), jnp.float32),
-            uv1=jnp.asarray(np.concatenate(uv1s), jnp.float32),
-            uv2=jnp.asarray(np.concatenate(uv2s), jnp.float32),
+            n0=jnp.asarray(n0a, jnp.float32),
+            n1=jnp.asarray(n1a, jnp.float32),
+            n2=jnp.asarray(n2a, jnp.float32),
+            uv0=jnp.asarray(uv0a, jnp.float32),
+            uv1=jnp.asarray(uv1a, jnp.float32),
+            uv2=jnp.asarray(uv2a, jnp.float32),
             ng=jnp.asarray(ng, jnp.float32),
-            mat_id=jnp.asarray(np.concatenate(mat_ids)),
-            light_id=jnp.asarray(np.concatenate(light_ids)),
-            node_id=jnp.asarray(np.concatenate(node_ids)))
+            mat_id=jnp.asarray(mat_a),
+            light_id=jnp.asarray(light_a),
+            node_id=jnp.asarray(node_a),
+            shade=jnp.asarray(shade))
 
         materials = self._build_materials()
         textures = self._build_textures()

@@ -86,6 +86,50 @@ class GeometryTable(NamedTuple):
     mat_id: Array     # (T,) i32
     light_id: Array   # (T,) i32 area-light index, -1 if not emissive
     node_id: Array    # (T,) i32 scene-graph node (instance) that owns the tri
+    shade: Array      # (T, 32) f32 packed shading fat row (pack_shade_rows):
+    #                   one gather per hit instead of ~10 (fill_dg hot path)
+
+
+SHADE_WIDTH = 32
+
+
+def pack_shade_rows(n0, n1, n2, uv0, uv1, uv2, ng, v0, v1, v2,
+                    mat_id, light_id, node_id):
+    """Pack per-triangle shading data into one (T, 32) fat row.
+
+    A TPU vector gather costs the same for any row width up to 128 f32, so
+    fill_dg fetches everything it needs with ONE gather. dpdu and the UV
+    density (mip-LOD footprint scale) are per-triangle constants and are
+    precomputed here instead of per-hit.
+    Layout: [0:3]=n0 [3:6]=n1 [6:9]=n2 [9:11]=uv0 [11:13]=uv1 [13:15]=uv2
+    [15:18]=ng [18:21]=dpdu (0 when the UV map is degenerate) [21]=uv_density
+    [22]=degenerate flag [23]=mat_id [24]=light_id [25]=node_id (i32 bitcast).
+    """
+    import numpy as np
+    T = n0.shape[0]
+    rows = np.zeros((T, SHADE_WIDTH), np.float32)
+    rows[:, 0:3] = n0
+    rows[:, 3:6] = n1
+    rows[:, 6:9] = n2
+    rows[:, 9:11] = uv0
+    rows[:, 11:13] = uv1
+    rows[:, 13:15] = uv2
+    rows[:, 15:18] = ng
+    e1 = (v1 - v0).astype(np.float32)
+    e2 = (v2 - v0).astype(np.float32)
+    duv1 = (uv1 - uv0).astype(np.float32)
+    duv2 = (uv2 - uv0).astype(np.float32)
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    degenerate = np.abs(det) < 1e-12
+    inv_det = np.where(degenerate, 0.0, 1.0 / np.where(degenerate, 1.0, det))
+    rows[:, 18:21] = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
+    world_area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
+    rows[:, 21] = np.sqrt(np.abs(det) / np.maximum(world_area2, 1e-20))
+    rows[:, 22] = degenerate.astype(np.float32)
+    rows[:, 23] = np.asarray(mat_id, np.int32).view(np.float32)
+    rows[:, 24] = np.asarray(light_id, np.int32).view(np.float32)
+    rows[:, 25] = np.asarray(node_id, np.int32).view(np.float32)
+    return rows
 
 
 class MaterialTable(NamedTuple):
