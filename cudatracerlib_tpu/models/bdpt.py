@@ -87,21 +87,30 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
               w: int, h: int, max_depth: int, active_types,
               force_s: int = -1, force_t: int = -1) -> filmmod.Film:
     """One BDPT pass over all pixels. force_s / force_t isolate a single
-    connection family (reference BDPT Force_s/Force_t debug knobs)."""
+    connection family (reference BDPT Force_s/Force_t debug knobs).
+
+    Both sub-path walks are `lax.scan`s so the (expensive) bounce body is
+    compiled ONCE instead of max_depth * NUM_LIGHT_V times — this took the
+    pass compile time from ~275s to well under a minute. The force knobs
+    mask contributions instead of skipping code, so every strategy family
+    consumes the same RNG stream and the per-family renders sum EXACTLY to
+    the full render."""
     B = w * h
     n_paths = float(B)
     pixel_idx = jnp.arange(B, dtype=jnp.int32)
     state = rngmod.seed(pixel_idx, pass_idx, jnp.uint32(0xB0))
     geom = scene.geom
 
-    def use_strategy(s, t):
-        if force_s >= 0 and s != force_s:
-            return False
-        if force_t >= 0 and t != force_t:
-            return False
-        return True
+    def use_mask(s_fam, t_fam):
+        """Traced strategy mask (s_fam/t_fam may be traced scan indices)."""
+        m = jnp.bool_(True)
+        if force_s >= 0:
+            m = m & (s_fam == force_s)
+        if force_t >= 0:
+            m = m & (t_fam == force_t)
+        return m
 
-    # ======================= light subpath =======================
+    # ======================= light subpath (scan) =======================
     er, state = lightsmod.sample_emitter_ray(scene, state)
     ltype = jnp.take(scene.lights.light_type, er.light_idx)
     is_delta_l = (ltype == schema.LIGHT_POINT) | (ltype == schema.LIGHT_SPOT) \
@@ -112,14 +121,14 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     # direct pdf in area measure (for the s=0 partner weight)
     direct_pdf_a = er.pdf_pos
     beta_l = er.power / n_paths * (w * h)  # = er.power for n_paths == w*h
-    dvcm = _mis(direct_pdf_a / emission_pdf_w)
-    dvc = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
+    dvcm0 = _mis(direct_pdf_a / emission_pdf_w)
+    dvc0 = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
 
-    rays = traversal.Rays(o=er.o + er.d * 1e-4, d=er.d,
-                          tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
-    active = jnp.ones(B, bool)
-    lvs = []
-    for li in range(NUM_LIGHT_V):
+    rays0 = traversal.Rays(o=er.o + er.d * 1e-4, d=er.d,
+                           tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+
+    def light_step(carry, li):
+        rays, state, beta_l, dvc, dvcm, active = carry
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
         hit = traversal8.intersect_scene(geom, trace_rays)
         si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
@@ -128,13 +137,14 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         cos_in = jnp.maximum(vm.absdot(si.ns, si.wi), 1e-6)
         dvcm_h = dvcm * _mis(dist2) / _mis(cos_in)
         dvc_h = dvc / _mis(cos_in)
-        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv,
+                                 active_types=active_types)
         frame = si.frame()
         wi_local = frame.to_local(si.wi)
-        lvs.append(LightVertex(
+        lv = LightVertex(
             valid=alive, p=si.p, ns=si.ns, ng=si.ng, ft=si.frame_t, fs=si.frame_s,
             wi_local=wi_local, beta=beta_l, dvcm=dvcm_h, dvc=dvc_h,
-            mat_id=si.mat_id, uv=si.uv))
+            mat_id=si.mat_id, uv=si.uv)
 
         # continue the light walk
         s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
@@ -151,16 +161,21 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         wo_world = frame.to_world(s.wo)
         rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
                               d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+        return (rays, state, beta_l, dvc, dvcm, active), lv
 
-    # ---------- t=1: splat every light vertex to the camera ----------
-    for s_idx, lv in enumerate(lvs):
-        s_fam = s_idx + 2  # light sub-path length incl. emitter vertex
-        if not use_strategy(s_fam, 1):
-            continue
+    carry0 = (rays0, state, beta_l, dvc0, dvcm0, jnp.ones(B, bool))
+    (_, state, *_), lvs = jax.lax.scan(
+        light_step, carry0, jnp.arange(NUM_LIGHT_V, dtype=jnp.int32))
+    # lvs: LightVertex pytree with leading axis NUM_LIGHT_V
+
+    # ---------- t=1: splat every light vertex to the camera (scan) ----------
+    def splat_step(film, inp):
+        lv, s_fam = inp
         sd = sensors.sample_direct(scene.sensor, lv.p, None)
         fr_lv = shading.fr.Frame(lv.ft, lv.fs, lv.ns)
         wo_cam = fr_lv.to_local(sd.d)
-        ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv)
+        ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv,
+                                    active_types=active_types)
         f, pdf_f, pdf_r = _eval_with_rev(ctx_lv, lv.wi_local, wo_cam, active_types)
         # image-to-surface factor in pixel units (We * dist^-2 * cos)
         we = sd.weight[:, 0] * (w * h)  # pixel-units importance
@@ -172,12 +187,15 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
             tmin=jnp.zeros(B),
             tmax=jnp.where(lv.valid & sd.valid, sd.dist * 0.999, 0.0))
         occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
-        ok = lv.valid & sd.valid & ~occ
+        ok = lv.valid & sd.valid & ~occ & use_mask(s_fam, 1)
         px = jnp.clip(sd.p_film[:, 0].astype(jnp.int32), 0, w - 1)
         py = jnp.clip(sd.p_film[:, 1].astype(jnp.int32), 0, h - 1)
-        film = filmmod.splat(film, px, py, contrib, mask=ok)
+        return filmmod.splat(film, px, py, contrib, mask=ok), None
 
-    # ======================= camera subpath =======================
+    s_fams = jnp.arange(2, NUM_LIGHT_V + 2, dtype=jnp.int32)
+    film, _ = jax.lax.scan(splat_step, film, (lvs, s_fams))
+
+    # ======================= camera subpath (scan) =======================
     cam_rays, px, py, state, wt = tracer.gen_camera_rays(
         scene, pixel_idx, 0, pass_idx, w, h)
     params = scene.sensor.params
@@ -186,14 +204,10 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     cos_cam = vm.dot(cam_rays.d, scene.sensor.to_world[:3, 2]
                      / jnp.linalg.norm(scene.sensor.to_world[:3, 2]))
     camera_pdf_w = (img_dist * img_dist) / jnp.maximum(cos_cam ** 3, 1e-6)
-    beta_c = jnp.ones((B, 3))
-    dvcm_c = _mis(n_paths / jnp.maximum(camera_pdf_w, 1e-12))
-    dvc_c = jnp.zeros(B)
-    active_c = jnp.ones(B, bool)
-    L = jnp.zeros((B, 3))
-    rays = cam_rays
+    dvcm_c0 = _mis(n_paths / jnp.maximum(camera_pdf_w, 1e-12))
 
-    for t_idx in range(max_depth):
+    def camera_step(carry, t_idx):
+        rays, state, beta_c, dvc_c, dvcm_c, active_c, L = carry
         t_fam = t_idx + 2  # camera sub-path length incl. camera vertex
         trace_rays = rays._replace(tmax=jnp.where(active_c, rays.tmax, 0.0))
         hit = traversal8.intersect_scene(geom, trace_rays)
@@ -205,50 +219,49 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         dvc_h = dvc_c / _mis(cos_in)
 
         # ---------- s=0: camera path hits an emitter ----------
-        if use_strategy(0, t_fam):
-            le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
-            lid = jnp.maximum(si.light_id, 0)
-            prev = jnp.where(lid > 0, jnp.take(scene.lights.power_cdf,
-                                               jnp.maximum(lid - 1, 0)), 0.0)
-            sel = jnp.maximum(jnp.take(scene.lights.power_cdf, lid) - prev, 1e-12)
-            lp = jnp.take(scene.lights.params, lid, axis=0)
-            area = jnp.maximum(lp[:, 6], 1e-12)
-            cos_l = jnp.maximum(vm.dot(si.ng, si.wi), 1e-6)
-            direct_pdf_a = sel / area
-            emission_pdf_w = sel / area * cos_l / jnp.pi
-            w_cam = _mis(direct_pdf_a) * dvcm_h + _mis(emission_pdf_w) * dvc_h
-            mis_w = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam))
-            L = L + jnp.where(alive[:, None], beta_c * le * mis_w[:, None], 0.0)
+        le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
+        lid = jnp.maximum(si.light_id, 0)
+        prev = jnp.where(lid > 0, jnp.take(scene.lights.power_cdf,
+                                           jnp.maximum(lid - 1, 0)), 0.0)
+        sel = jnp.maximum(jnp.take(scene.lights.power_cdf, lid) - prev, 1e-12)
+        lp = jnp.take(scene.lights.params, lid, axis=0)
+        area = jnp.maximum(lp[:, 6], 1e-12)
+        cos_l = jnp.maximum(vm.dot(si.ng, si.wi), 1e-6)
+        direct_pdf_a = sel / area
+        emission_pdf_w = sel / area * cos_l / jnp.pi
+        w_cam = _mis(direct_pdf_a) * dvcm_h + _mis(emission_pdf_w) * dvc_h
+        mis_w = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam))
+        hit_mask = alive & use_mask(0, t_fam)
+        L = L + jnp.where(hit_mask[:, None], beta_c * le * mis_w[:, None], 0.0)
 
-        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+        ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv,
+                                 active_types=active_types)
         frame = si.frame()
         wi_local = frame.to_local(si.wi)
 
         # ---------- s=1: direct illumination sampling ----------
-        if use_strategy(1, t_fam):
-            ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
-            direct_w, emission_w, cos_at_light = _emission_pdfs(scene, ed)
-            wo_l = frame.to_local(ed.d)
-            f, pdf_f, pdf_r = _eval_with_rev(ctx, wi_local, wo_l, active_types)
-            cos_to_l = jnp.maximum(vm.absdot(si.ns, ed.d), 1e-6)
-            w_light = jnp.where(ed.is_delta, 0.0, _mis(pdf_f / direct_w))
-            w_cam = _mis(emission_w * cos_to_l / (direct_w * cos_at_light)) \
-                * (dvcm_h + dvc_h * _mis(pdf_r))
-            mis_w = 1.0 / (w_light + 1.0 + w_cam)
-            shadow = traversal.Rays(
-                o=shading.offset_ray_origin(si.p, si.ng, ed.d), d=ed.d,
-                tmin=jnp.zeros(B),
-                tmax=jnp.where(alive & (pdf_f + vm.length_sqr(f) > 0),
-                               ed.dist * 0.999, 0.0))
-            occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
-            contrib = beta_c * f * ed.radiance_over_pdf * mis_w[:, None]
-            L = L + jnp.where((alive & ~occ)[:, None], contrib, 0.0)
+        ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
+        direct_w, emission_w, cos_at_light = _emission_pdfs(scene, ed)
+        wo_l = frame.to_local(ed.d)
+        f, pdf_f, pdf_r = _eval_with_rev(ctx, wi_local, wo_l, active_types)
+        cos_to_l = jnp.maximum(vm.absdot(si.ns, ed.d), 1e-6)
+        w_light = jnp.where(ed.is_delta, 0.0, _mis(pdf_f / direct_w))
+        w_cam = _mis(emission_w * cos_to_l / (direct_w * cos_at_light)) \
+            * (dvcm_h + dvc_h * _mis(pdf_r))
+        mis_w = 1.0 / (w_light + 1.0 + w_cam)
+        shadow = traversal.Rays(
+            o=shading.offset_ray_origin(si.p, si.ng, ed.d), d=ed.d,
+            tmin=jnp.zeros(B),
+            tmax=jnp.where(alive & (pdf_f + vm.length_sqr(f) > 0),
+                           ed.dist * 0.999, 0.0))
+        occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
+        contrib = beta_c * f * ed.radiance_over_pdf * mis_w[:, None]
+        nee_mask = alive & ~occ & use_mask(1, t_fam)
+        L = L + jnp.where(nee_mask[:, None], contrib, 0.0)
 
-        # ---------- s>=2: connect to stored light vertices ----------
-        for s_idx, lv in enumerate(lvs):
-            s_fam = s_idx + 2
-            if not use_strategy(s_fam, t_fam):
-                continue
+        # ---------- s>=2: connect to stored light vertices (inner scan) ----
+        def connect_step(Lc, inp):
+            lv, s_fam = inp
             dvec = lv.p - si.p
             d2 = jnp.maximum(vm.length_sqr(dvec), 1e-12)
             dist = jnp.sqrt(d2)
@@ -259,8 +272,10 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
             # light-side BSDF toward camera vertex
             fr_lv = shading.fr.Frame(lv.ft, lv.fs, lv.ns)
             wo_lv = fr_lv.to_local(-dirn)
-            ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv)
-            f_l, pdf_lf, pdf_lr = _eval_with_rev(ctx_lv, lv.wi_local, wo_lv, active_types)
+            ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv,
+                                        active_types=active_types)
+            f_l, pdf_lf, pdf_lr = _eval_with_rev(ctx_lv, lv.wi_local, wo_lv,
+                                                 active_types)
             cos_c = jnp.maximum(vm.absdot(si.ns, dirn), 1e-6)
             cos_lv = jnp.maximum(vm.absdot(lv.ns, dirn), 1e-6)
             # evaluate() returns f*cos: divide out the cosines, use G explicitly
@@ -276,7 +291,10 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                 o=shading.offset_ray_origin(si.p, si.ng, dirn), d=dirn,
                 tmin=jnp.zeros(B), tmax=jnp.where(ok, dist * 0.998, 0.0))
             occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
-            L = L + jnp.where((ok & ~occ)[:, None], contrib, 0.0)
+            conn_mask = ok & ~occ & use_mask(s_fam, t_fam)
+            return Lc + jnp.where(conn_mask[:, None], contrib, 0.0), None
+
+        L, _ = jax.lax.scan(connect_step, L, (lvs, s_fams))
 
         # ---------- extend the camera path ----------
         s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
@@ -293,6 +311,12 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         wo_world = frame.to_world(s.wo)
         rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
                               d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+        return (rays, state, beta_c, dvc_c, dvcm_c, active_c, L), None
+
+    carry0 = (cam_rays, state, jnp.ones((B, 3)), jnp.zeros(B), dvcm_c0,
+              jnp.ones(B, bool), jnp.zeros((B, 3)))
+    (_, _, _, _, _, _, L), _ = jax.lax.scan(
+        camera_step, carry0, jnp.arange(max_depth, dtype=jnp.int32))
 
     film = filmmod.add_samples(film, px, py, L * wt)
     return film

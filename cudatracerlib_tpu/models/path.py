@@ -38,7 +38,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 active_types: Sequence[int] = bsdfmod.ALL_TYPES,
                 with_media: bool | None = None, with_alpha: bool = False,
                 with_bump: bool = False, regularize: bool = False,
-                regularize_alpha: float = 0.08, with_textures: bool = True):
+                regularize_alpha: float = 0.08, with_textures: bool = True,
+                return_rays: bool = False):
     """Estimate radiance along each lane's camera ray. Returns (L, state).
 
     with_media toggles participating-media handling (medium distance sampling
@@ -64,9 +65,13 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     cur = rays
 
     def bounce(depth, carry):
-        L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth = carry
+        (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
+         nrays) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
+        # live-ray counter (reference g_RayTracedCounter semantics: count only
+        # rays actually traced, not launched lanes)
+        nrays = nrays + jnp.sum(active.astype(jnp.float32))
         hit = traversal8.intersect_scene(geom, trace_rays)
 
         # --- medium interaction on this segment? ---
@@ -149,6 +154,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             shadow = traversal.Rays(
                 o=shadow_o, d=ed.d, tmin=jnp.zeros(B),
                 tmax=jnp.where(do_shadow, ed.dist * 0.999, 0.0))
+            nrays = nrays + jnp.sum(do_shadow.astype(jnp.float32))
             occluded = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
             contrib = beta * f_nee * ed.radiance_over_pdf * w_nee[:, None]
@@ -198,10 +204,13 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         nxt = traversal.Rays(o=new_o, d=wo_world,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
-                next_pdf, is_delta, nxt, state, had_smooth2)
+                next_pdf, is_delta, nxt, state, had_smooth2, nrays)
 
-    carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth)
+    carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
+             jnp.float32(0.0))
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    if return_rays:
+        return carry[0], carry[6], carry[8]
     return carry[0], carry[6]
 
 
@@ -226,6 +235,7 @@ class PathTracer(tracer.TracerBase):
         self.chunk_size = min(chunk_size, width * height)
         n_chunks = (width * height + self.chunk_size - 1) // self.chunk_size
         self._n_chunks = n_chunks
+        self._rays_dev = jnp.float32(0.0)
         self._jitted = jax.jit(partial(
             _pt_chunk, w=width, h=height, chunk=self.chunk_size,
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
@@ -235,8 +245,16 @@ class PathTracer(tracer.TracerBase):
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
-            film = self._jitted(scene, film, jnp.int32(pass_idx), jnp.int32(c))
+            film, nr = self._jitted(scene, film, jnp.int32(pass_idx),
+                                    jnp.int32(c))
+            # device-side accumulation: no sync until someone reads it
+            self._rays_dev = self._rays_dev + nr
         return film
+
+    @property
+    def rays_traced_live(self) -> float:
+        """Total rays actually traced (live lanes only; device counter)."""
+        return float(self._rays_dev)
 
     def _debug_lane(self, pixel_idx):
         rays, px, py, state, wt = tracer.gen_camera_rays(
@@ -257,20 +275,20 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
               with_bump: bool = False, regularize: bool = False,
               with_textures: bool = True) -> filmmod.Film:
-    contiguous = (w * h) % chunk == 0
     base = (chunk_idx * chunk) % (w * h)
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
+    nrays = jnp.float32(0.0)
     for s_i in range(spp):
         sample_idx = pass_idx * spp + s_i
         rays, px, py, state, wt = tracer.gen_camera_rays(
             scene, pixel_idx, sample_idx, pass_idx, w, h)
-        L, state = pt_radiance(scene, rays, state, max_depth, rr_depth,
-                               use_nee, active_types, with_alpha=with_alpha,
-                               with_bump=with_bump, regularize=regularize,
-                               with_textures=with_textures)
+        L, state, nr = pt_radiance(scene, rays, state, max_depth, rr_depth,
+                                   use_nee, active_types, with_alpha=with_alpha,
+                                   with_bump=with_bump, regularize=regularize,
+                                   with_textures=with_textures,
+                                   return_rays=True)
+        nrays = nrays + nr
         # measured on v5e: XLA's scatter-add here is FASTER than a
-        # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes),
-        # so the contiguous fast path is not used
-        del contiguous
+        # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes)
         film = filmmod.add_samples(film, px, py, L * wt)
-    return film
+    return film, nrays
