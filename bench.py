@@ -27,13 +27,15 @@ def _bench_pt(scene_fn, name, w, h, max_depth, n_passes, chunk_size=1 << 16,
                             chunk_size=chunk_size)
     tr.do_pass()  # compile + warm
     jax.block_until_ready(tr.film.rgb)
-    r0 = tr.rays_traced_live
+    # NO device->host reads between here and the end of timing: the first
+    # D2H transfer permanently degrades the axon client's dispatch latency
+    c0 = tr._rays_dev
     t0 = time.perf_counter()
     for _ in range(n_passes):
         tr.do_pass()
     jax.block_until_ready(tr.film.rgb)
     dt = time.perf_counter() - t0
-    mrays = (tr.rays_traced_live - r0) / dt / 1e6
+    mrays = float(tr._rays_dev - c0) / dt / 1e6
     spp_s = n_passes / dt
     return {
         "metric": name,
@@ -158,19 +160,46 @@ def bench_cornell_headline():
                      512, 512, max_depth=6, n_passes=6)
 
 
+CONFIGS = {
+    "prim": bench_prim,
+    "veach_mis": bench_veach_mis,
+    "san_miguel": bench_san_miguel,
+    "bdpt": bench_bdpt,
+    "ppm": bench_ppm,
+    "headline": bench_cornell_headline,
+}
+
+
 def main():
-    configs = [bench_prim, bench_veach_mis, bench_san_miguel, bench_bdpt,
-               bench_ppm]
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 1:  # child mode: run one config, print one JSON line
+        print(json.dumps(CONFIGS[sys.argv[1]]()), flush=True)
+        return
+
+    # each config runs in its own process: readbacks at the end of one config
+    # must not poison the dispatch latency of the next (axon D2H behavior)
     results = []
-    for fn in configs:
+    for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm"):
         try:
-            r = fn()
+            p = subprocess.run([sys.executable, __file__, name],
+                               capture_output=True, text=True, timeout=900)
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
         except Exception as e:  # one config failing must not hide the rest
-            r = {"metric": fn.__name__, "value": None, "unit": "error",
+            r = {"metric": name, "value": None, "unit": "error",
                  "vs_baseline": None, "error": repr(e)[:300]}
         results.append(r)
         print(json.dumps(r), flush=True)
-    head = bench_cornell_headline()
+    try:
+        p = subprocess.run([sys.executable, __file__, "headline"],
+                           capture_output=True, text=True, timeout=900)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        head = json.loads(line)
+    except Exception as e:
+        head = {"metric": "headline", "value": None, "unit": "error",
+                "vs_baseline": None, "error": repr(e)[:300]}
     head["configs"] = {r["metric"]: [r["value"], r["unit"]] for r in results}
     print(json.dumps(head), flush=True)
 

@@ -143,7 +143,7 @@ def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
 def scene_has_textures(scene: schema.SceneData) -> bool:
     """Host-side static check: any material referencing a texture slot."""
     import numpy as np
-    return bool(np.any(np.asarray(scene.materials.tex) >= 0))
+    return bool(np.any(schema.host_meta(scene)["mat_tex"] >= 0))
 
 
 # ---------------------------------------------------------------------------
@@ -874,13 +874,11 @@ def is_delta_only(ctx: BsdfCtx) -> Array:
 
 
 def scene_has_alpha(scene: schema.SceneData) -> bool:
-    import numpy as np
-    return bool((np.asarray(scene.materials.tex[:, 2]) >= 0).any())
+    return bool((schema.host_meta(scene)["mat_tex"][:, 2] >= 0).any())
 
 
 def scene_has_bump(scene: schema.SceneData) -> bool:
-    import numpy as np
-    return bool((np.asarray(scene.materials.tex[:, 3]) >= 0).any())
+    return bool((schema.host_meta(scene)["mat_tex"][:, 3] >= 0).any())
 
 
 def eval_alpha(scene: schema.SceneData, mat_id: Array, uv: Array) -> Array:

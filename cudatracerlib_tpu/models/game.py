@@ -92,8 +92,8 @@ class GameTracer(tracer.TracerBase):
         if active_types is None:
             active_types = pathmod.scene_active_types(scene)
         if radius is None:
-            diag = float(np.linalg.norm(np.asarray(scene.world_hi)
-                                        - np.asarray(scene.world_lo)))
+            meta = schema.host_meta(scene)
+            diag = float(np.linalg.norm(meta["world_hi"] - meta["world_lo"]))
             radius = diag * 0.01
         self._jitted = jax.jit(partial(
             psf_pass, w=width, h=height, radius=float(radius),

@@ -245,10 +245,11 @@ class PathTracer(tracer.TracerBase):
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
-            film, nr = self._jitted(scene, film, jnp.int32(pass_idx),
-                                    jnp.int32(c))
-            # device-side accumulation: no sync until someone reads it
-            self._rays_dev = self._rays_dev + nr
+            # the counter is accumulated INSIDE the jitted chunk: no eager
+            # device ops in the pass loop, no device->host reads (the axon
+            # client permanently slows dispatch after the first D2H transfer)
+            film, self._rays_dev = self._jitted(scene, film, self._rays_dev,
+                                                jnp.int32(pass_idx), jnp.int32(c))
         return film
 
     @property
@@ -266,11 +267,11 @@ class PathTracer(tracer.TracerBase):
 
 def scene_active_types(scene: schema.SceneData):
     """Static tuple of BSDF types present in the scene (compile only those)."""
-    import numpy as np
-    return tuple(sorted(set(np.asarray(scene.materials.mat_type).tolist())))
+    return tuple(sorted(set(schema.host_meta(scene)["mat_type"].tolist())))
 
 
-def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
+def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
+              pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
               with_bump: bool = False, regularize: bool = False,
@@ -291,4 +292,4 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, pass_idx, chunk_idx,
         # measured on v5e: XLA's scatter-add here is FASTER than a
         # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes)
         film = filmmod.add_samples(film, px, py, L * wt)
-    return film, nrays
+    return film, rays_ctr + nrays

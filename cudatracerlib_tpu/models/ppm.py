@@ -255,8 +255,8 @@ class PPMTracer(tracer.TracerBase):
             active_types = pathmod.scene_active_types(scene)
         self.active_types = tuple(active_types)
         if initial_radius is None:
-            diag = float(np.linalg.norm(np.asarray(scene.world_hi)
-                                        - np.asarray(scene.world_lo)))
+            meta = schema.host_meta(scene)
+            diag = float(np.linalg.norm(meta["world_hi"] - meta["world_lo"]))
             initial_radius = diag * 0.01
         self.radius = float(initial_radius)
         self.photons_emitted = 0

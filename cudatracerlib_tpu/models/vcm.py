@@ -291,8 +291,8 @@ class VCM(tracer.TracerBase):
             active_types = pathmod.scene_active_types(scene)
         self.active_types = tuple(active_types)
         if initial_radius is None:
-            diag = float(np.linalg.norm(np.asarray(scene.world_hi)
-                                        - np.asarray(scene.world_lo)))
+            meta = schema.host_meta(scene)
+            diag = float(np.linalg.norm(meta["world_hi"] - meta["world_lo"]))
             initial_radius = diag * 0.005
         self.initial_radius = float(initial_radius)
         self.alpha = alpha

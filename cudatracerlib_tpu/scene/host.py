@@ -197,8 +197,12 @@ class DynamicScene:
             shade=jnp.asarray(shade))
         lo = np.minimum(np.minimum(v0, v1), v2).min(0).astype(np.float32)
         hi = np.maximum(np.maximum(v0, v1), v2).max(0).astype(np.float32)
-        return scene_data._replace(geom=geom, world_lo=jnp.asarray(lo),
-                                   world_hi=jnp.asarray(hi))
+        out = scene_data._replace(geom=geom, world_lo=jnp.asarray(lo),
+                                  world_hi=jnp.asarray(hi))
+        meta = dict(schema.host_meta(scene_data))
+        meta.update(world_lo=lo, world_hi=hi)
+        schema.set_host_meta(out, meta)
+        return out
 
     def remove_node(self, node_id: int):
         self._nodes[node_id] = None  # tombstone; compacted at build
@@ -338,10 +342,26 @@ class DynamicScene:
         lights = self._build_lights(area_lights, v0, v1, v2, b)
         media = self._build_media()
 
-        return schema.SceneData(
+        sd = schema.SceneData(
             geom=geom, materials=materials, textures=textures, lights=lights,
             sensor=self._sensor, media=media,
             world_lo=jnp.asarray(b.world_lo), world_hi=jnp.asarray(b.world_hi))
+        # numpy mirrors of small metadata: tracer construction must never read
+        # device arrays back (axon D2H transfers permanently degrade dispatch)
+        mats = self._materials or [dict(mat_type=schema.BSDF_DIFFUSE,
+                                        tex=np.full(schema.N_MAT_TEX, -1, np.int32))]
+        schema.set_host_meta(sd, dict(
+            mat_type=np.asarray([m["mat_type"] for m in mats], np.int32),
+            mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
+            world_lo=np.asarray(b.world_lo, np.float32),
+            world_hi=np.asarray(b.world_hi, np.float32),
+            light_type=np.asarray([l["light_type"] for l in self._lights]
+                                  + [schema.LIGHT_DIFFUSE] * len(area_lights)
+                                  + ([schema.LIGHT_INFINITE] if self._env is not None else []),
+                                  np.int32),
+            n_media=len(self._media),
+        ))
+        return sd
 
     def _build_materials(self) -> schema.MaterialTable:
         mats = self._materials if self._materials else [dict(

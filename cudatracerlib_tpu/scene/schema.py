@@ -210,9 +210,56 @@ class SceneData(NamedTuple):
     world_hi: Array    # (3,)
 
     @property
+    def host(self) -> dict:
+        return host_meta(self)
+
+    @property
     def num_tris(self) -> int:
         return self.geom.tris.shape[0]
 
     @property
     def num_lights(self) -> int:
         return self.lights.light_type.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side metadata mirror
+# ---------------------------------------------------------------------------
+# The axon PJRT client drops into a permanently slower execution mode after
+# the FIRST device->host transfer in a process (~0.4-3 ms added latency to
+# every subsequent executable launch). Tracer construction must therefore
+# never read scene arrays back from the device: `DynamicScene.build()`
+# registers numpy mirrors of the small metadata tables here, and
+# `host_meta(scene)` serves them without touching the device. The fallback
+# (np.asarray readback) only triggers for hand-built SceneData in tests,
+# which run on the CPU backend where transfers are free.
+
+_HOST_META: dict = {}
+
+
+def set_host_meta(scene: "SceneData", meta: dict) -> None:
+    """Attach host (numpy) mirrors of scene metadata, keyed by identity of
+    the geometry table (stable across film passes; refreshed on rebuild)."""
+    import weakref
+    key = id(scene.geom.wide)
+    _HOST_META[key] = meta
+    try:
+        weakref.finalize(scene.geom.wide, _HOST_META.pop, key, None)
+    except TypeError:
+        pass
+
+
+def host_meta(scene: "SceneData") -> dict:
+    m = _HOST_META.get(id(scene.geom.wide))
+    if m is None:
+        import numpy as np
+        m = dict(
+            mat_type=np.asarray(scene.materials.mat_type),
+            mat_tex=np.asarray(scene.materials.tex),
+            world_lo=np.asarray(scene.world_lo),
+            world_hi=np.asarray(scene.world_hi),
+            light_type=np.asarray(scene.lights.light_type),
+            n_media=int(np.asarray(scene.media.med_type).shape[0]),
+        )
+        set_host_meta(scene, m)
+    return m
