@@ -262,7 +262,7 @@ class PPMTracer(tracer.TracerBase):
         self.photons_emitted = 0
         self.with_volume = mediummod.has_media(scene.media)
         self._trace_jit = jax.jit(partial(
-            trace_photons, n_photons=self.n_photons, state_seed=jnp.uint32(0x9907),
+            trace_photons, n_photons=self.n_photons, state_seed=0x9907,
             max_depth=max_depth, active_types=self.active_types,
             store_medium=self.with_volume))
         self._eye_jit = jax.jit(partial(

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: xdist workers each compile the same programs;
+# cache hits cut the suite from >30 min to minutes on warm runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ctl_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
