@@ -60,7 +60,9 @@ def build_bvh8(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     v0 = np.ascontiguousarray(v0, np.float32)
     v1 = np.ascontiguousarray(v1, np.float32)
     v2 = np.ascontiguousarray(v2, np.float32)
-    max_rows = T + 16
+    # SBVH spatial splits may duplicate references (budget 1.4x in the
+    # native builder), so leaf rows can exceed the triangle count
+    max_rows = int(T * 1.5) + 16
     nodes = np.zeros((max_rows, 128), np.float32)
     leaves = np.zeros((max_rows, 128), np.float32)
     counts = np.zeros(2, np.int32)
