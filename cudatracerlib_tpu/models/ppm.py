@@ -39,9 +39,14 @@ PHOTON_K = 12
 
 
 def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
-                  max_depth: int, active_types, store_medium: bool = False):
+                  max_depth: int, active_types, store_medium: bool = False,
+                  collect_beams: bool = False):
     """Light walk storing photons at diffuse-ish surface hits (and medium
-    events when store_medium). Returns (rows (N*D, 12), valid, n_emitted)."""
+    events when store_medium). Returns (rows (N*D, 12), valid) — plus
+    (beams (N*D, 16), beams_valid) when collect_beams: one photon beam per
+    traversed medium segment (reference Beam.h photon-beam storage), rows
+    [o(3) d(3) t_len(1) power(3) sigma_t(3) pad(3)] with power = throughput
+    at the segment origin."""
     B = n_photons
     state = rngmod.seed(jnp.arange(B, dtype=jnp.int32), pass_idx, state_seed)
     er, state = lightsmod.sample_emitter_ray(scene, state)
@@ -51,6 +56,7 @@ def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
     active = jnp.ones(B, bool)
     with_media = store_medium and mediummod.has_media(scene.media)
     rows_out, valid_out = [], []
+    beams_out, beams_valid_out = [], []
 
     for depth in range(max_depth):
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
@@ -58,6 +64,7 @@ def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
 
         if with_media:
             t_seg = jnp.where(hit.valid, hit.t * 0.999, 1e7)
+            beta_seg = beta
             ms, state = mediummod.sample_distance(scene.media, rays.o, rays.d,
                                                   t_seg, state, active)
             beta = beta * ms.weight
@@ -65,6 +72,28 @@ def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
             med_row = jnp.concatenate([ms.p, beta, -rays.d, jnp.zeros((B, 3))], -1)
             rows_out.append(med_row)
             valid_out.append(med_event)
+            if collect_beams:
+                # clip the beam to the media AABB: only the in-medium part
+                # scatters, and bounded length keeps the grid rasterization
+                # (build_beam_cells) dense enough to cover every cell
+                lo_m, hi_m = mediummod.media_aabb(scene.media)
+                inv = 1.0 / jnp.where(jnp.abs(rays.d) < 1e-12, 1e-12, rays.d)
+                ta = (lo_m - rays.o) * inv
+                tb = (hi_m - rays.o) * inv
+                t_in = jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=-1), 0.0)
+                t_out = jnp.min(jnp.maximum(ta, tb), axis=-1)
+                t_end = jnp.where(med_event, ms.t,
+                                  jnp.where(hit.valid, hit.t, t_out))
+                t_end = jnp.minimum(t_end, t_out)
+                b_len = jnp.maximum(t_end - t_in, 0.0)
+                b_o = rays.o + rays.d * t_in[:, None]
+                sa0, ss0, _, _ = mediummod.sigma_at(
+                    scene.media, b_o + rays.d * 1e-4)
+                beam = jnp.concatenate(
+                    [b_o, rays.d, b_len[:, None], beta_seg, sa0 + ss0,
+                     jnp.zeros((B, 3))], -1)
+                beams_out.append(beam)
+                beams_valid_out.append(active & (b_len > 0))
         else:
             med_event = jnp.zeros(B, bool)
 
@@ -101,6 +130,9 @@ def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
         rays = traversal.Rays(o=new_o, d=wo_world,
                               tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
 
+    if collect_beams:
+        return (jnp.concatenate(rows_out, 0), jnp.concatenate(valid_out, 0),
+                jnp.concatenate(beams_out, 0), jnp.concatenate(beams_valid_out, 0))
     return jnp.concatenate(rows_out, 0), jnp.concatenate(valid_out, 0)
 
 
@@ -161,9 +193,10 @@ def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
 
 
 def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGrid,
-             pass_idx, w: int, h: int, radius, n_emitted: float, max_depth: int,
-             active_types, kernel_type: int = kernelsmod.PERLIN,
-             with_volume: bool = False) -> filmmod.Film:
+             vol_grid, pass_idx, w: int, h: int, radius, n_emitted: float,
+             max_depth: int, active_types, kernel_type: int = kernelsmod.PERLIN,
+             with_volume: bool = False, vol_est: str = "beamgrid",
+             vol_max_per_cell: int = 16) -> filmmod.Film:
     """Camera walk to the first smooth vertex (through specular chains), then
     one density-estimation gather at that vertex. Direct emission is added
     analytically (hit emitters / env)."""
@@ -186,13 +219,28 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
         if with_volume:
             t_seg = jnp.where(hit.valid, hit.t,
                               2.0 * jnp.max(scene.world_hi - scene.world_lo))
-            # in-scattered radiance gathered along this segment (primary
-            # segments get finer marching), then attenuate the throughput
-            n_march = 16 if depth == 0 else 8
-            Lv = volumetric_radiance(scene, grid, rays.o, rays.d, t_seg,
-                                     radius, n_steps=n_march)
-            L = L + jnp.where(active[:, None], beta * Lv, 0.0)
-            beta = beta * transmittance_det(scene, rays.o, rays.d, t_seg)
+            # in-scattered radiance gathered along this segment, then
+            # attenuate the throughput. Estimator selection mirrors the
+            # reference's PPPMTracer<VolEstimator> template parameter.
+            from . import vol_estimators as ve
+            if vol_est == ve.VOL_BEAMGRID:
+                Lv, Tr = ve.radiance_beamgrid(scene, vol_grid, rays.o, rays.d,
+                                              t_seg, radius,
+                                              max_per_cell=vol_max_per_cell)
+                L = L + jnp.where(active[:, None], beta * Lv, 0.0)
+                beta = beta * Tr
+            elif vol_est == ve.VOL_BEAMBEAM:
+                Lv, Tr = ve.radiance_beambeam(scene, vol_grid, rays.o, rays.d,
+                                              t_seg, radius,
+                                              max_per_cell=vol_max_per_cell)
+                L = L + jnp.where(active[:, None], beta * Lv, 0.0)
+                beta = beta * Tr
+            else:  # PointStorage: quadrature marching with 3D-kernel gathers
+                n_march = 16 if depth == 0 else 8
+                Lv = volumetric_radiance(scene, vol_grid, rays.o, rays.d, t_seg,
+                                         radius, n_steps=n_march)
+                L = L + jnp.where(active[:, None], beta * Lv, 0.0)
+                beta = beta * transmittance_det(scene, rays.o, rays.d, t_seg)
         miss = active & ~hit.valid
         env = lightsmod.eval_environment(scene, rays.d)
         L = L + jnp.where(miss[:, None], beta * env, 0.0)
@@ -238,13 +286,38 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     return filmmod.add_samples(film, px, py, L * wt)
 
 
+def _is_medium_row(rows: Array) -> Array:
+    return jnp.all(rows[:, 9:12] == 0.0, axis=-1)  # medium photons: normal = 0
+
+
+def _build_surface_grid(rows, valid, lo, hi, cell):
+    keep = valid & ~_is_medium_row(rows)
+    return hashgrid.build_grid(rows, rows[:, 0:3], keep, lo, hi, cell)
+
+
+def _build_vol_grid_point(rows, valid, lo, hi, cell):
+    keep = valid & _is_medium_row(rows)
+    return hashgrid.build_grid(rows, rows[:, 0:3], keep, lo, hi, cell)
+
+
+def _build_vol_grid_ball(rows, valid, radius, lo, hi):
+    from ..ops import dda
+    keep = valid & _is_medium_row(rows)
+    return dda.build_ball_grid(rows, rows[:, 0:3], keep, radius, lo, hi)
+
+
 class PPMTracer(tracer.TracerBase):
-    """Progressive photon mapper (reference PPPMTracer, surface estimator)."""
+    """Progressive photon mapper (reference PPPMTracer). The volumetric
+    estimator is selectable like the reference's template parameter:
+    "point" (PointStorage marching), "beamgrid" (photon-disc beam radiance
+    estimate, default), or "beambeam" (photon beams x camera beam)."""
 
     def __init__(self, scene, width, height, n_photons: Optional[int] = None,
                  max_depth: int = 6, initial_radius: Optional[float] = None,
                  alpha: float = 2.0 / 3.0, seed: int = 0,
-                 active_types: Optional[Sequence[int]] = None):
+                 active_types: Optional[Sequence[int]] = None,
+                 vol_estimator: str = "beamgrid",
+                 vol_max_per_cell: Optional[int] = None):
         super().__init__(scene, width, height, seed=seed)
         from . import path as pathmod
         import numpy as np
@@ -261,23 +334,51 @@ class PPMTracer(tracer.TracerBase):
         self.radius = float(initial_radius)
         self.photons_emitted = 0
         self.with_volume = mediummod.has_media(scene.media)
+        self.vol_est = vol_estimator if self.with_volume else "point"
+        collect_beams = self.with_volume and vol_estimator == "beambeam"
+        self._collect_beams = collect_beams
         self._trace_jit = jax.jit(partial(
             trace_photons, n_photons=self.n_photons, state_seed=0x9907,
             max_depth=max_depth, active_types=self.active_types,
-            store_medium=self.with_volume))
+            store_medium=self.with_volume, collect_beams=collect_beams))
+        if vol_max_per_cell is None:
+            # beambeam rows are duplicated across many cells per beam: give
+            # it a deeper budget (beams are thinned at build, keep_prob=0.25)
+            vol_max_per_cell = 24 if vol_estimator == "beambeam" else 16
         self._eye_jit = jax.jit(partial(
             eye_pass, w=width, h=height, max_depth=max_depth,
-            active_types=self.active_types, with_volume=self.with_volume))
+            active_types=self.active_types, with_volume=self.with_volume,
+            vol_est=self.vol_est, vol_max_per_cell=vol_max_per_cell))
+        self._surf_grid_jit = jax.jit(_build_surface_grid)
+        self._vol_point_jit = jax.jit(_build_vol_grid_point)
+        self._vol_ball_jit = jax.jit(_build_vol_grid_ball)
+        if collect_beams:
+            from . import vol_estimators as ve
+            self._beam_cells_jit = jax.jit(ve.build_beam_cells)
 
     def render_pass(self, scene, film, pass_idx):
-        import numpy as np
-        rows, valid = self._trace_jit(scene, pass_idx=jnp.int32(pass_idx))
+        if self._collect_beams:
+            rows, valid, beams, bvalid = self._trace_jit(
+                scene, pass_idx=jnp.int32(pass_idx))
+        else:
+            rows, valid = self._trace_jit(scene, pass_idx=jnp.int32(pass_idx))
+        r = jnp.float32(self.radius)
         cell = jnp.float32(2.0 * self.radius)
-        grid = hashgrid.build_grid(rows, rows[:, 0:3], valid,
-                                   scene.world_lo, scene.world_hi, cell)
-        film = self._eye_jit(scene, film, grid, jnp.int32(pass_idx),
-                             radius=jnp.float32(self.radius),
-                             n_emitted=float(self.n_photons))
+        grid = self._surf_grid_jit(rows, valid, scene.world_lo, scene.world_hi,
+                                   cell)
+        if not self.with_volume:
+            vol_grid = None
+        elif self.vol_est == "beamgrid":
+            vol_grid = self._vol_ball_jit(rows, valid, r, scene.world_lo,
+                                          scene.world_hi)
+        elif self.vol_est == "beambeam":
+            vol_grid = self._beam_cells_jit(beams, bvalid, r, scene.world_lo,
+                                            scene.world_hi)
+        else:
+            vol_grid = self._vol_point_jit(rows, valid, scene.world_lo,
+                                           scene.world_hi, cell)
+        film = self._eye_jit(scene, film, grid, vol_grid, jnp.int32(pass_idx),
+                             radius=r, n_emitted=float(self.n_photons))
         # progressive radius schedule r_{i+1}^2 = r_i^2 * (i+alpha)/(i+1)
         i = self.pass_idx + 1
         self.radius = float(self.radius * ((i + self.alpha) / (i + 1.0)) ** 0.5)
