@@ -67,6 +67,26 @@ def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
     mat_id = jax.lax.bitcast_convert_type(row[:, 23], jnp.int32)
     light_id = jax.lax.bitcast_convert_type(row[:, 24], jnp.int32)
 
+    if geom.inst is not None and hit.inst is not None:
+        # two-level scenes: shade rows are LOCAL space; normals transform by
+        # the inverse-transpose of local->world = w2l_rot^T, and per-instance
+        # material/light override the (shared) mesh attributes
+        it = geom.inst
+        ik = jnp.maximum(hit.inst, 0)
+        w2l = jnp.take(it.w2l, ik, axis=0)               # (B, 3, 4)
+        rot_t = jnp.swapaxes(w2l[:, :, :3], 1, 2)        # w2l_rot^T
+        ns = vm.normalize(jnp.einsum("bij,bj->bi", rot_t, ns))
+        ng = vm.normalize(jnp.einsum("bij,bj->bi", rot_t, ng))
+        l2w = jnp.take(it.l2w, ik, axis=0)
+        dpdu = jnp.einsum("bij,bj->bi", l2w[:, :, :3], dpdu)
+        uv_density = uv_density * jnp.take(it.inv_scale, ik)
+        # sentinels defer to the mesh's own per-tri attributes (the identity
+        # instance covering the flattened, mixed-material part of the scene)
+        imat = jnp.take(it.mat_id, ik)
+        mat_id = jnp.where(imat >= 0, imat, mat_id)
+        ilight = jnp.take(it.light_id, ik)
+        light_id = jnp.where(ilight != -2, ilight, light_id)
+
     if flip_to_ray:
         flip = vm.dot(ng, rays.d) > 0.0
         ng = jnp.where(flip[:, None], -ng, ng)

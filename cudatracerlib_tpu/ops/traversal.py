@@ -41,6 +41,8 @@ class Hit(NamedTuple):
     tri: Array     # (B,) int32 triangle id, -1 if miss
     u: Array       # (B,) barycentric
     v: Array       # (B,)
+    # instance id for two-level (TLAS/BLAS) scenes; None when flattened
+    inst: "Array | None" = None
 
     @property
     def valid(self) -> Array:

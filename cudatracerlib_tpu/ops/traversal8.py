@@ -44,8 +44,10 @@ def _bitcast_i32(x: Array) -> Array:
 @partial(jax.jit, static_argnames=("any_hit", "stack_depth", "max_iters"))
 def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
                    stack_depth: int = STACK_DEPTH,
-                   max_iters: int = MAX_ITERS) -> Hit:
+                   max_iters: int = MAX_ITERS, roots: Array = None) -> Hit:
     B = rays.o.shape[0]
+    if roots is None:
+        roots = jnp.zeros(B, jnp.int32)
     inv_d = _safe_inv(rays.d)
     ox, oy, oz = rays.o[:, 0], rays.o[:, 1], rays.o[:, 2]       # (B,)
     ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
@@ -147,7 +149,7 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
         return (state[0] < max_iters) & jnp.any(state[1] != DONE)
 
     init = (jnp.int32(0),
-            jnp.full(B, 0xFF, jnp.int32),   # root = node 0, all children unvisited
+            (roots << 8) | 0xFF,            # per-lane root, all children unvisited
             jnp.zeros(B, jnp.int32),
             tuple(jnp.zeros(B, jnp.int32) for _ in range(stack_depth)),
             rays.tmax,
@@ -164,7 +166,8 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
 def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
                               any_hit: bool = False,
                               stack_depth: int = STACK_DEPTH,
-                              max_iters: int = MAX_ITERS) -> Hit:
+                              max_iters: int = MAX_ITERS,
+                              roots: Array = None) -> Hit:
     """Persistent-lane wide traversal: each lane processes K rays in sequence.
 
     The lockstep while_loop's cost is set by the WORST lane; with one ray per
@@ -178,9 +181,12 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     N = rays.o.shape[0]
     assert N % K == 0, "ray count must divide rays_per_lane"
     B = N // K
+    if roots is None:
+        roots = jnp.zeros(N, jnp.int32)
     if K == 1:
         return intersect_wide(table, rays, any_hit=any_hit,
-                              stack_depth=stack_depth, max_iters=max_iters)
+                              stack_depth=stack_depth, max_iters=max_iters,
+                              roots=roots)
     inv_all = _safe_inv(rays.d)
     # slot-major views: slot k of lane b is ray k*B + b
     oK = rays.o.reshape(K, B, 3)
@@ -188,6 +194,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     iK = inv_all.reshape(K, B, 3)
     tminK = rays.tmin.reshape(K, B)
     tmaxK = rays.tmax.reshape(K, B)
+    rootK = roots.reshape(K, B)
     n_rows = table.shape[0]
     inf = jnp.float32(jnp.inf)
     bit8 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[:, None]
@@ -300,6 +307,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
         i_new = sel_slot(k_next, iK)
         tmin_new = sel_slot(k_next, tminK)
         tmax_new = sel_slot(k_next, tmaxK)
+        root_new = sel_slot(k_next, rootK)
         ox = jnp.where(fetch, o_new[:, 0], ox)
         oy = jnp.where(fetch, o_new[:, 1], oy)
         oz = jnp.where(fetch, o_new[:, 2], oz)
@@ -314,7 +322,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
         tri_best = jnp.where(fetch, -1, tri_best)
         u_best = jnp.where(fetch, 0.0, u_best)
         v_best = jnp.where(fetch, 0.0, v_best)
-        cur = jnp.where(fetch, jnp.int32(0xFF), cur)
+        cur = jnp.where(fetch, (root_new << 8) | 0xFF, cur)
         sp = jnp.where(fetch, 0, sp)
         return (it + 1, k_next, cur, sp, tuple(final_stack),
                 ox, oy, oz, ix, iy, iz, dx, dy, dz, tmn,
@@ -327,7 +335,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
 
     zeros_f = tuple(jnp.zeros(B) for _ in range(K))
     init = (jnp.int32(0), jnp.zeros(B, jnp.int32),
-            jnp.full(B, 0xFF, jnp.int32), jnp.zeros(B, jnp.int32),
+            (rootK[0] << 8) | 0xFF, jnp.zeros(B, jnp.int32),
             tuple(jnp.zeros(B, jnp.int32) for _ in range(stack_depth)),
             oK[0, :, 0], oK[0, :, 1], oK[0, :, 2],
             iK[0, :, 0], iK[0, :, 1], iK[0, :, 2],
@@ -358,10 +366,13 @@ def pack_unified(bvh8_nodes, bvh8_leaves):
 DEFAULT_RAYS_PER_LANE = 16
 
 
-def intersect_scene(geom, rays: Rays, any_hit: bool = False) -> Hit:
+def intersect_scene(geom, rays: Rays, any_hit: bool = False,
+                    roots: Array = None) -> Hit:
     """Production intersector over a GeometryTable (wide fat-row path).
 
     Dispatch (static, at trace time):
+    - instanced scene (geom.inst) -> two-level TLAS/BLAS traversal
+      (ops/instanced.py); hit carries local tri + instance id.
     - TPU + table fits VMEM -> Pallas on-chip traversal kernel
       (ops/traversal_pl.py): ~5x the XLA path on Cornell-class scenes by
       keeping the whole state machine in vregs (no per-iteration dispatch
@@ -370,13 +381,17 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False) -> Hit:
       amortizing the lockstep worst-lane tail)."""
     import jax as _jax
     from . import traversal_pl
+    if geom.inst is not None:
+        from . import instanced
+        return instanced.intersect_instanced(geom, rays, any_hit=any_hit)
     n_rows = geom.wide.shape[0]
     on_tpu = _jax.default_backend() not in ("cpu",)
     if on_tpu and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES:
         table_t = traversal_pl.prep_table_jnp(geom.wide)
-        return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit)
+        return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
+                                             roots=roots)
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
-                                         any_hit=any_hit)
-    return intersect_wide(geom.wide, rays, any_hit=any_hit)
+                                         any_hit=any_hit, roots=roots)
+    return intersect_wide(geom.wide, rays, any_hit=any_hit, roots=roots)

@@ -84,9 +84,9 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         return rt
 
     def tile_init(g):
-        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]   # (11,K,128)
-        first = [rays_g[a, 0:1, :] for a in range(11)]
-        cur = jnp.full((1, LANES), 0xFF, jnp.int32)
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]   # (12,K,128)
+        first = [rays_g[a, 0:1, :] for a in range(12)]
+        cur = (_i32(first[11]) << 8) | 0xFF                   # per-ray root row
         sp = jnp.zeros((1, LANES), jnp.int32)
         kcur = jnp.zeros((1, LANES), jnp.int32)
         stack = jnp.zeros((STACK_D, LANES), jnp.int32)
@@ -199,10 +199,10 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         out_v = jnp.where(oh_k, v_b, out_v)
         knext = jnp.where(completed, kcur + 1, kcur)
         fetch = completed & (knext < K)
-        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]    # (11,K,128)
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]    # (12,K,128)
         kidx = jnp.broadcast_to(jnp.clip(knext, 0, K - 1), (K, LANES))
         new = [jnp.take_along_axis(rays_g[a], kidx, axis=0)[0:1]
-               for a in range(11)]
+               for a in range(12)]
         regs = tuple(jnp.where(fetch, new[a], r)
                      for a, r in enumerate((ox, oy, oz, dx, dy, dz,
                                             ix, iy, iz, tmn)))
@@ -210,7 +210,7 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         tri_b = jnp.where(fetch, -1, tri_b)
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
-        cur = jnp.where(fetch, jnp.int32(0xFF), cur)
+        cur = jnp.where(fetch, (_i32(new[11]) << 8) | 0xFF, cur)
         sp = jnp.where(fetch, 0, sp)
         return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
                 (out_t, out_tri, out_u, out_v))
@@ -256,7 +256,7 @@ def prep_table_jnp(table: Array) -> Array:
 @partial(jax.jit, static_argnames=("any_hit", "K", "G", "max_iters"))
 def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
                      K: int = DEFAULT_K, G: int = DEFAULT_G,
-                     max_iters: int = 4096) -> Hit:
+                     max_iters: int = 4096, roots: Array = None) -> Hit:
     """Traverse with the Pallas kernel. table_t must be prep_table() output.
 
     Rays are padded to a multiple of K*G*128; grid programs each own G tiles.
@@ -265,6 +265,8 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
     n_slabs = n_rows // LANES
     assert n_slabs <= MAX_SLABS, "table too large for the Pallas path"
     N = rays.o.shape[0]
+    if roots is None:
+        roots = jnp.zeros(N, jnp.int32)
     block = K * G * LANES
     Np = -(-N // block) * block
     pad = Np - N
@@ -273,15 +275,17 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
     attrs = jnp.stack([rays.o[:, 0], rays.o[:, 1], rays.o[:, 2],
                        rays.d[:, 0], rays.d[:, 1], rays.d[:, 2],
                        inv_d[:, 0], inv_d[:, 1], inv_d[:, 2],
-                       rays.tmin, rays.tmax], axis=0)      # (11, N)
+                       rays.tmin, rays.tmax,
+                       jax.lax.bitcast_convert_type(roots, jnp.float32)],
+                      axis=0)                              # (12, N)
     if pad:
-        fill = jnp.zeros((11, pad), attrs.dtype)
+        fill = jnp.zeros((12, pad), attrs.dtype)
         fill = fill.at[5].set(1.0).at[8].set(1.0)          # dz=1 valid dir
         fill = fill.at[10].set(-1.0)                       # tmax<tmin: no hit
         attrs = jnp.concatenate([attrs, fill], axis=1)
     # slot-major: lane b of tile g, slot k handles ray k*(Np/K) + g*128 + b
     B = Np // K
-    attrs = attrs.reshape(11, K, B)
+    attrs = attrs.reshape(12, K, B)
 
     n_progs = B // (G * LANES)
     kern = partial(_traverse_kernel, n_slabs=n_slabs, n_rows=n_rows,
@@ -294,7 +298,7 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
         in_specs=[
             pl.BlockSpec((128, n_rows), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((11, K, G * LANES), lambda i: (0, 0, i),
+            pl.BlockSpec((12, K, G * LANES), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, K, G * LANES), lambda i: (0, 0, i),

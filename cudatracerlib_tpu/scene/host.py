@@ -156,10 +156,44 @@ class DynamicScene:
 
         Falls back to topology-preserving refit only — for large motions a
         periodic full build() keeps SAH quality (like the reference's
-        rebuild-vs-refit heuristic)."""
+        rebuild-vs-refit heuristic).
+
+        For two-level scenes moving an INSTANCED node is O(changed nodes):
+        only its InstanceTable row is rewritten (the reference's
+        SceneBVH::invalidateNode + TLAS refit)."""
         from . import animation as animmod
         for nid, m in node_transforms.items():
             self.set_node_transform(nid, m)
+
+        inst_map = getattr(self, "_inst_of_node", None)
+        if (scene_data.geom.inst is not None and inst_map is not None
+                and all(nid in inst_map for nid in node_transforms)):
+            h = self._inst_host
+            corners01 = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                                  for z in (0, 1)], np.float32)
+            for nid in node_transforms:
+                row = inst_map[nid]
+                l2w = np.asarray(self._nodes[nid].to_world, np.float32)
+                w2l = np.linalg.inv(l2w).astype(np.float32)
+                h["l2w"][row] = l2w[:3]
+                h["w2l"][row] = w2l[:3]
+                lo, hi = self._inst_local_aabbs[row]
+                pts = (lo + corners01 * (hi - lo)) @ l2w[:3, :3].T + l2w[:3, 3]
+                h["lo"][row] = pts.min(0)
+                h["hi"][row] = pts.max(0)
+                det = abs(float(np.linalg.det(l2w[:3, :3])))
+                h["inv_scale"][row] = max(det, 1e-20) ** (-1.0 / 3.0)
+            inst = schema.InstanceTable(
+                **{k: jnp.asarray(v) for k, v in h.items()})
+            w_lo = h["lo"].min(0)
+            w_hi = h["hi"].max(0)
+            out = scene_data._replace(
+                geom=scene_data.geom._replace(inst=inst),
+                world_lo=jnp.asarray(w_lo), world_hi=jnp.asarray(w_hi))
+            meta = dict(schema.host_meta(scene_data))
+            meta.update(world_lo=w_lo, world_hi=w_hi)
+            schema.set_host_meta(out, meta)
+            return out
         # recompute world triangles for ALL nodes (vectorized; the per-node
         # selective path lands with true two-level instancing)
         nodes = [n for n in self._nodes if n is not None]
@@ -263,10 +297,22 @@ class DynamicScene:
         self._sensor = sensor
 
     # -- build -------------------------------------------------------------
-    def build(self) -> schema.SceneData:
+    def build(self, instancing: str = "auto") -> schema.SceneData:
+        """instancing: "auto" builds a two-level TLAS/BLAS when a mesh is
+        shared by >=2 non-emissive nodes (geometry stored once per unique
+        mesh); "off" always flattens (the round-1 behavior)."""
         nodes = [n for n in self._nodes if n is not None]
         assert nodes, "scene has no geometry"
         assert self._sensor is not None, "scene has no sensor"
+
+        if instancing == "auto":
+            by_mesh: dict = {}
+            for idx, node in enumerate(nodes):
+                if node.emission is None:
+                    by_mesh.setdefault(id(node.mesh), []).append(idx)
+            groups = {k: v for k, v in by_mesh.items() if len(v) >= 2}
+            if groups:
+                return self._build_instanced(nodes, groups)
 
         v0s, v1s, v2s = [], [], []
         n0s, n1s, n2s, uv0s, uv1s, uv2s = [], [], [], [], [], []
@@ -337,6 +383,20 @@ class DynamicScene:
             node_id=jnp.asarray(node_a),
             shade=jnp.asarray(shade))
 
+        # scene bounds include media volumes (a medium may extend past all
+        # geometry, e.g. a fog slab in front of a wall; PPM grids and light
+        # scene radii must cover it)
+        w_lo = np.asarray(b.world_lo, np.float32).copy()
+        w_hi = np.asarray(b.world_hi, np.float32).copy()
+        corners = np.array([[x, y, z, 1.0] for x in (0, 1) for y in (0, 1)
+                            for z in (0, 1)], np.float32)
+        for med in self._media:
+            m2w = np.asarray(med["to_world"], np.float32)
+            pts = (corners @ m2w.T)[:, :3]
+            w_lo = np.minimum(w_lo, pts.min(0))
+            w_hi = np.maximum(w_hi, pts.max(0))
+        b = b._replace(world_lo=w_lo, world_hi=w_hi)
+
         materials = self._build_materials()
         textures = self._build_textures()
         lights = self._build_lights(area_lights, v0, v1, v2, b)
@@ -355,6 +415,205 @@ class DynamicScene:
             mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
             world_lo=np.asarray(b.world_lo, np.float32),
             world_hi=np.asarray(b.world_hi, np.float32),
+            light_type=np.asarray([l["light_type"] for l in self._lights]
+                                  + [schema.LIGHT_DIFFUSE] * len(area_lights)
+                                  + ([schema.LIGHT_INFINITE] if self._env is not None else []),
+                                  np.int32),
+            n_media=len(self._media),
+        ))
+        return sd
+
+    def _build_instanced(self, nodes, groups) -> schema.SceneData:
+        """Two-level TLAS/BLAS build: meshes shared by several nodes are kept
+        in LOCAL space once (one BLAS each); per-node transforms live in an
+        InstanceTable. Reference: ``Engine/SceneBVH`` node streams +
+        ``Kernel/TraceHelper.cu:88-180`` inverse-transform traversal.
+        Emissive nodes stay flattened (area-light CDFs need world triangles);
+        the flattened remainder becomes instance 0 with an identity transform
+        and defer-sentinels for material/light."""
+        from . import native_bvh
+
+        inst_node_ids = set(i for v in groups.values() for i in v)
+        flat_ids = [i for i in range(len(nodes)) if i not in inst_node_ids]
+
+        def world_part():
+            v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
+            uv0s, uv1s, uv2s, mats, lights_, nids = [], [], [], [], [], []
+            area_lights = []
+            tri_cursor = 0
+            n_other = len(self._lights)
+            for node_idx in flat_ids:
+                node = nodes[node_idx]
+                m = node.mesh.transformed(node.to_world)
+                f = m.f
+                v0s.append(m.v[f[:, 0]]); v1s.append(m.v[f[:, 1]]); v2s.append(m.v[f[:, 2]])
+                n0s.append(m.n[f[:, 0]]); n1s.append(m.n[f[:, 1]]); n2s.append(m.n[f[:, 2]])
+                uv = m.uv if m.uv is not None else np.zeros((m.v.shape[0], 2), np.float32)
+                uv0s.append(uv[f[:, 0]]); uv1s.append(uv[f[:, 1]]); uv2s.append(uv[f[:, 2]])
+                nf = f.shape[0]
+                mats.append(np.full(nf, node.material, np.int32))
+                nids.append(np.full(nf, node_idx, np.int32))
+                if node.emission is not None:
+                    light_row = n_other + len(area_lights)
+                    lights_.append(np.full(nf, light_row, np.int32))
+                    area_lights.append(dict(first=tri_cursor, count=nf,
+                                            radiance=np.asarray(node.emission, np.float32)))
+                else:
+                    lights_.append(np.full(nf, -1, np.int32))
+                tri_cursor += nf
+            cat = lambda xs, d: (np.concatenate(xs) if xs else
+                                 np.zeros((0, d), np.float32) if d else
+                                 np.zeros(0, np.int32))
+            return (cat(v0s, 3), cat(v1s, 3), cat(v2s, 3), cat(n0s, 3),
+                    cat(n1s, 3), cat(n2s, 3), cat(uv0s, 2), cat(uv1s, 2),
+                    cat(uv2s, 2), cat(mats, 0), cat(lights_, 0), cat(nids, 0),
+                    area_lights)
+
+        def local_part(mesh):
+            f = mesh.f
+            m = mesh if mesh.n is not None else shapes.compute_vertex_normals(mesh)
+            uv = m.uv if m.uv is not None else np.zeros((m.v.shape[0], 2), np.float32)
+            T = f.shape[0]
+            return (m.v[f[:, 0]], m.v[f[:, 1]], m.v[f[:, 2]],
+                    m.n[f[:, 0]], m.n[f[:, 1]], m.n[f[:, 2]],
+                    uv[f[:, 0]], uv[f[:, 1]], uv[f[:, 2]],
+                    np.zeros(T, np.int32), np.full(T, -1, np.int32),
+                    np.full(T, -1, np.int32), None)
+
+        parts = []
+        (fv0, fv1, fv2, fn0, fn1, fn2, fu0, fu1, fu2, fmat, flig, fnid,
+         area_lights) = world_part()
+        if fv0.shape[0] > 0:
+            parts.append(dict(arrs=(fv0, fv1, fv2, fn0, fn1, fn2, fu0, fu1, fu2,
+                                    fmat, flig, fnid), flat=True))
+        group_items = list(groups.items())
+        for mesh_key, idxs in group_items:
+            arrs = local_part(nodes[idxs[0]].mesh)[:12]
+            parts.append(dict(arrs=arrs, flat=False))
+
+        # per-part BVH, link/tri-id fixup, concatenation
+        row_off = 0
+        tri_off = 0
+        wides, all_arrs, shades = [], [], []
+        for part in parts:
+            v0, v1, v2, n0, n1, n2, u0, u1, u2, ma, li, ni = part["arrs"]
+            T = v0.shape[0]
+            if T >= 4096 and native_bvh.available():
+                b8 = native_bvh.build_bvh8(v0, v1, v2)
+            else:
+                b8 = bvh8mod.build_bvh8(v0, v1, v2)
+            n8 = b8.nodes.shape[0]
+            wide_p = traversal8.pack_unified(b8.nodes, b8.leaves).copy()
+            lk = wide_p[:n8, 48:56].copy().view(np.int32)
+            internal = lk >= 0
+            leaf = lk <= -2
+            lk[internal] += row_off
+            lk[leaf] = -2 - ((-2 - lk[leaf]) + row_off)
+            wide_p[:n8, 48:56] = lk.view(np.float32)
+            ids = wide_p[n8:, 108:120].copy().view(np.int32)
+            ids[ids >= 0] += tri_off
+            wide_p[n8:, 108:120] = ids.view(np.float32)
+            ng = np.cross(v1 - v0, v2 - v0)
+            ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            shade = schema.pack_shade_rows(n0, n1, n2, u0, u1, u2, ng,
+                                           v0, v1, v2, ma, li, ni)
+            part["root"] = row_off
+            part["lo"] = b8.world_lo
+            part["hi"] = b8.world_hi
+            row_off += wide_p.shape[0]
+            tri_off += T
+            wides.append(wide_p)
+            shades.append(shade)
+            all_arrs.append((v0, v1, v2, n0, n1, n2, u0, u1, u2, ma, li, ni, ng))
+
+        catp = lambda k: np.concatenate([a[k] for a in all_arrs])
+        v0a, v1a, v2a = catp(0), catp(1), catp(2)
+        geom = schema.GeometryTable(
+            tris=jnp.asarray(traversal.pack_tris(v0a, v1a, v2a)),
+            nodes=jnp.zeros((1, 16), jnp.float32),
+            tri_order=jnp.arange(v0a.shape[0], dtype=jnp.int32),
+            wide=jnp.asarray(np.concatenate(wides)),
+            n0=jnp.asarray(catp(3), jnp.float32), n1=jnp.asarray(catp(4), jnp.float32),
+            n2=jnp.asarray(catp(5), jnp.float32), uv0=jnp.asarray(catp(6), jnp.float32),
+            uv1=jnp.asarray(catp(7), jnp.float32), uv2=jnp.asarray(catp(8), jnp.float32),
+            ng=jnp.asarray(catp(12), jnp.float32),
+            mat_id=jnp.asarray(catp(9)), light_id=jnp.asarray(catp(10)),
+            node_id=jnp.asarray(catp(11)),
+            shade=jnp.asarray(np.concatenate(shades)))
+
+        # instance table: identity row for the flat part, then each node of
+        # each shared mesh
+        w2l_rows, l2w_rows, roots, imat, ilig, inode = [], [], [], [], [], []
+        los, his, inv_scales, local_aabbs = [], [], [], []
+        self._inst_of_node = {}
+        part_i = 0
+        if parts and parts[0]["flat"]:
+            eye = np.eye(4, dtype=np.float32)
+            w2l_rows.append(eye[:3]); l2w_rows.append(eye[:3])
+            roots.append(parts[0]["root"])
+            imat.append(-1); ilig.append(-2); inode.append(-1)
+            los.append(parts[0]["lo"]); his.append(parts[0]["hi"])
+            inv_scales.append(1.0)
+            local_aabbs.append((parts[0]["lo"], parts[0]["hi"]))
+            part_i = 1
+        corners01 = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                              for z in (0, 1)], np.float32)
+        for (mesh_key, idxs) in group_items:
+            part = parts[part_i]; part_i += 1
+            lo, hi = part["lo"], part["hi"]
+            corners = lo + corners01 * (hi - lo)
+            for node_idx in idxs:
+                node = nodes[node_idx]
+                l2w = np.asarray(node.to_world, np.float32)
+                w2l = np.linalg.inv(l2w).astype(np.float32)
+                pts = corners @ l2w[:3, :3].T + l2w[:3, 3]
+                w2l_rows.append(w2l[:3]); l2w_rows.append(l2w[:3])
+                roots.append(part["root"])
+                imat.append(node.material); ilig.append(-1); inode.append(node_idx)
+                los.append(pts.min(0)); his.append(pts.max(0))
+                det = abs(float(np.linalg.det(l2w[:3, :3])))
+                inv_scales.append(max(det, 1e-20) ** (-1.0 / 3.0))
+                local_aabbs.append((lo, hi))
+                self._inst_of_node[node_idx] = len(roots) - 1
+        self._inst_host = dict(
+            w2l=np.stack(w2l_rows).astype(np.float32),
+            l2w=np.stack(l2w_rows).astype(np.float32),
+            root=np.asarray(roots, np.int32),
+            mat_id=np.asarray(imat, np.int32),
+            light_id=np.asarray(ilig, np.int32),
+            node_id=np.asarray(inode, np.int32),
+            lo=np.stack(los).astype(np.float32),
+            hi=np.stack(his).astype(np.float32),
+            inv_scale=np.asarray(inv_scales, np.float32))
+        inst = schema.InstanceTable(
+            **{k: jnp.asarray(v) for k, v in self._inst_host.items()})
+        self._inst_local_aabbs = local_aabbs
+        geom = geom._replace(inst=inst)
+
+        w_lo = np.stack(los).min(0).astype(np.float32)
+        w_hi = np.stack(his).max(0).astype(np.float32)
+        corners4 = np.array([[x, y, z, 1.0] for x in (0, 1) for y in (0, 1)
+                             for z in (0, 1)], np.float32)
+        for med in self._media:
+            m2w = np.asarray(med["to_world"], np.float32)
+            pts = (corners4 @ m2w.T)[:, :3]
+            w_lo = np.minimum(w_lo, pts.min(0))
+            w_hi = np.maximum(w_hi, pts.max(0))
+        b_like = bvhmod.BVH(nodes=np.zeros((1, 16), np.float32),
+                            tri_order=np.arange(max(fv0.shape[0], 1), dtype=np.int32),
+                            world_lo=w_lo, world_hi=w_hi)
+        lights = self._build_lights(area_lights, fv0, fv1, fv2, b_like)
+        sd = schema.SceneData(
+            geom=geom, materials=self._build_materials(),
+            textures=self._build_textures(), lights=lights,
+            sensor=self._sensor, media=self._build_media(),
+            world_lo=jnp.asarray(w_lo), world_hi=jnp.asarray(w_hi))
+        mats = self._materials or [dict(mat_type=schema.BSDF_DIFFUSE,
+                                        tex=np.full(schema.N_MAT_TEX, -1, np.int32))]
+        schema.set_host_meta(sd, dict(
+            mat_type=np.asarray([m["mat_type"] for m in mats], np.int32),
+            mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
+            world_lo=w_lo, world_hi=w_hi,
             light_type=np.asarray([l["light_type"] for l in self._lights]
                                   + [schema.LIGHT_DIFFUSE] * len(area_lights)
                                   + ([schema.LIGHT_INFINITE] if self._env is not None else []),

@@ -70,8 +70,32 @@ N_LIGHT_PARAMS = 24
 N_TEX_PARAMS = 12
 
 
+class InstanceTable(NamedTuple):
+    """Two-level (TLAS/BLAS) instancing: per-instance transforms over shared
+    local-space BLAS subtrees in the unified fat-row table.
+
+    Reference: ``Engine/SceneBVH.h:18`` (TLAS over nodes with per-node
+    transform streams) + the traversal inverse-transform hand-off
+    (``Kernel/TraceHelper.cu:88-180``). TPU redesign: the TLAS is a
+    vectorized slab test over instance AABBs collecting per-lane entry
+    ordering; each visited instance re-traverses the shared BLAS with a
+    per-lane root (ops/instanced.py)."""
+    w2l: Array        # (I, 3, 4) world->local affine
+    l2w: Array        # (I, 3, 4) local->world affine
+    root: Array       # (I,) i32 BLAS root row in GeometryTable.wide
+    mat_id: Array     # (I,) i32 material override
+    light_id: Array   # (I,) i32 area-light row (-1)
+    node_id: Array    # (I,) i32 scene-graph node
+    lo: Array         # (I, 3) world-space instance AABB
+    hi: Array         # (I, 3)
+    inv_scale: Array  # (I,) |det l2w_rot|^(1/3) — uv-density correction
+
+
 class GeometryTable(NamedTuple):
-    """World-space triangle soup + BVH (instances flattened at build time)."""
+    """Triangle soup + BVH. Without instancing all arrays are world-space and
+    `inst` is None; with instancing (shared meshes) the triangle pool and
+    `wide` table are per-unique-mesh LOCAL space and `inst` maps rays/hits
+    between spaces."""
     tris: Array       # (T, 12) f32 intersection layout [v0, e1, e2, pad]
     nodes: Array      # (N, 16) f32 packed 2-wide BVH nodes (reference path)
     tri_order: Array  # (T,) i32
@@ -88,6 +112,7 @@ class GeometryTable(NamedTuple):
     node_id: Array    # (T,) i32 scene-graph node (instance) that owns the tri
     shade: Array      # (T, 32) f32 packed shading fat row (pack_shade_rows):
     #                   one gather per hit instead of ~10 (fill_dg hot path)
+    inst: "InstanceTable | None" = None
 
 
 SHADE_WIDTH = 32
