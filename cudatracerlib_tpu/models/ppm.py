@@ -14,7 +14,7 @@ estimator, redesigned without atomics).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -196,11 +196,21 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
              vol_grid, pass_idx, w: int, h: int, radius, n_emitted: float,
              max_depth: int, active_types, kernel_type: int = kernelsmod.PERLIN,
              with_volume: bool = False, vol_est: str = "beamgrid",
-             vol_max_per_cell: int = 16) -> filmmod.Film:
+             vol_max_per_cell: int = 16, ppm_state=None, alpha: float = 2.0 / 3.0,
+             final_gather: bool = False):
     """Camera walk to the first smooth vertex (through specular chains), then
     one density-estimation gather at that vertex. Direct emission is added
-    analytically (hit emitters / env)."""
+    analytically (hit emitters / env).
+
+    With ppm_state (PixelStats) the gather uses per-pixel adaptive kNN radii
+    with Hachisuka's progressive statistics (reference PPPMTracer.h:29-146:
+    per-pixel density-derived radii instead of one global schedule); the
+    gathered flux accumulates in the state's tau and the function returns
+    (film, new_state). With final_gather the walk samples ONE extra bounce at
+    the first smooth vertex and density-estimates there instead, while the
+    vertex itself gets NEE direct lighting (PPPMTracer_EyePass.cu:16-40)."""
     B = w * h
+    adaptive = ppm_state is not None
     pixel_idx = jnp.arange(B, dtype=jnp.int32)
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
     L = jnp.zeros((B, 3))
@@ -213,6 +223,7 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     gv_albedo = jnp.zeros((B, 3))
     gv_beta = jnp.zeros((B, 3))
 
+    n_smooth = jnp.zeros(B, jnp.int32)
     for depth in range(max_depth):
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
         hit = traversal8.intersect_scene(scene.geom, trace_rays)
@@ -243,24 +254,46 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
                 beta = beta * transmittance_det(scene, rays.o, rays.d, t_seg)
         miss = active & ~hit.valid
         env = lightsmod.eval_environment(scene, rays.d)
-        L = L + jnp.where(miss[:, None], beta * env, 0.0)
+        env_ok = miss & ((n_smooth == 0) if final_gather else True)
+        L = L + jnp.where(env_ok[:, None], beta * env, 0.0)
         si = shading.fill_dg(scene.geom, trace_rays, hit, flip_to_ray=False)
         alive = active & hit.valid
         le = lightsmod.eval_hit_emitter(scene, si.light_id, si.ng, si.wi)
-        L = L + jnp.where(alive[:, None], beta * le, 0.0)
+        # with final gathering, emission past the first smooth vertex is
+        # already estimated by that vertex's NEE
+        le_ok = alive & ((n_smooth == 0) if final_gather else True)
+        L = L + jnp.where(le_ok[:, None], beta * le, 0.0)
 
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
         frame = si.frame()
         wi_local = frame.to_local(si.wi)
         is_smooth = ~bsdfmod.is_delta_only(ctx)
-        gather_here = alive & is_smooth & ~gathered
+        smooth_hit = alive & is_smooth
+        n_smooth2 = n_smooth + smooth_hit.astype(jnp.int32)
+        if final_gather:
+            gather_here = smooth_hit & (n_smooth2 >= 2) & ~gathered
+            nee_here = smooth_hit & (n_smooth2 == 1)
+            ed, state = lightsmod.sample_emitter_direct(scene, si.p, state)
+            wo_nee = frame.to_local(ed.d)
+            lob = bsdfmod.evaluate(ctx, wi_local, wo_nee, active_types)
+            do_sh = nee_here & (vm.length_sqr(lob.f) > 0)
+            shadow = traversal.Rays(
+                o=shading.offset_ray_origin(si.p, si.ng, ed.d), d=ed.d,
+                tmin=jnp.zeros(B), tmax=jnp.where(do_sh, ed.dist * 0.999, 0.0))
+            occ = traversal8.intersect_scene(scene.geom, shadow, any_hit=True).valid
+            L = L + jnp.where((nee_here & ~occ)[:, None],
+                              beta * lob.f * ed.radiance_over_pdf, 0.0)
+        else:
+            gather_here = smooth_hit & ~gathered
+        n_smooth = n_smooth2
         gv_p = jnp.where(gather_here[:, None], si.p, gv_p)
         gv_ns = jnp.where(gather_here[:, None], si.ns, gv_ns)
         gv_albedo = jnp.where(gather_here[:, None], diffuse_albedo(ctx), gv_albedo)
         gv_beta = jnp.where(gather_here[:, None], beta, gv_beta)
         gathered = gathered | gather_here
 
-        # continue through delta surfaces only
+        # continue through delta surfaces (and, with final gathering, one
+        # sampled bounce past the first smooth vertex)
         s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
         wo_world = frame.to_world(s.wo)
         beta = beta * s.weight
@@ -268,9 +301,40 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
         rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
                               d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
 
-    # --- single photon gather at the stored vertices ---
-    r_lane = jnp.full(B, radius)
     inv_pi = 1.0 / jnp.pi
+    if adaptive:
+        # ---- per-pixel adaptive kNN radii (stochastic progressive PM) ----
+        r_lane = jnp.sqrt(jnp.maximum(ppm_state.r2, 1e-20))
+
+        def accum_a(carry, rows, mask):
+            flux, M = carry
+            ph_pos, ph_pow, ph_wi, ph_n = (rows[:, 0:3], rows[:, 3:6],
+                                           rows[:, 6:9], rows[:, 9:12])
+            d2 = jnp.sum((ph_pos - gv_p) ** 2, -1)
+            ok = (mask & (vm.dot(ph_n, gv_ns) > 0.5)
+                  & (vm.dot(ph_wi, gv_ns) > 0.0) & (d2 <= r_lane * r_lane))
+            # smooth-kernel flux in Hachisuka's count units (K2 * pi r^2)
+            kw = kernelsmod.k(kernel_type, jnp.sqrt(jnp.maximum(d2, 0.0)),
+                              r_lane, dim=2) * (jnp.pi * r_lane * r_lane)
+            flux = flux + jnp.where(ok[:, None], ph_pow * kw[:, None], 0.0)
+            return flux, M + ok.astype(jnp.float32)
+
+        flux, M = hashgrid.gather_neighbors(
+            grid, gv_p, r_lane, accum_a, (jnp.zeros((B, 3)), jnp.zeros(B)))
+        # outgoing radiance numerator; the 1/(pi r^2 n_passes) lives in develop
+        flux = jnp.where(gathered[:, None],
+                         flux * gv_albedo * inv_pi * gv_beta, 0.0)
+        M = jnp.where(gathered, M, 0.0)
+        N = ppm_state.n
+        ratio = jnp.where(M > 0, (N + alpha * M) / jnp.maximum(N + M, 1e-9), 1.0)
+        new_state = PixelStats(r2=ppm_state.r2 * ratio,
+                               n=N + alpha * M,
+                               tau=(ppm_state.tau + flux) * ratio[:, None])
+        film = filmmod.add_samples(film, px, py, L * wt)
+        return film, new_state
+
+    # ---- single kernel-weighted gather at the stored vertices ----
+    r_lane = jnp.full(B, radius)
 
     def accum(carry, rows, mask):
         ph_pos, ph_pow, ph_wi, ph_n = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
@@ -284,6 +348,15 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     L = L + jnp.where(gathered[:, None], gv_beta * Lg, 0.0)
 
     return filmmod.add_samples(film, px, py, L * wt)
+
+
+class PixelStats(NamedTuple):
+    """Per-pixel progressive photon-mapping statistics (Hachisuka SPPM;
+    reference PPPMTracer.h k_AdaptiveStruct): squared gather radius, photon
+    count (alpha-weighted), accumulated flux numerator tau."""
+    r2: Array    # (P,)
+    n: Array     # (P,)
+    tau: Array   # (P, 3)
 
 
 def _is_medium_row(rows: Array) -> Array:
@@ -317,7 +390,8 @@ class PPMTracer(tracer.TracerBase):
                  alpha: float = 2.0 / 3.0, seed: int = 0,
                  active_types: Optional[Sequence[int]] = None,
                  vol_estimator: str = "beamgrid",
-                 vol_max_per_cell: Optional[int] = None):
+                 vol_max_per_cell: Optional[int] = None,
+                 adaptive_radii: bool = False, final_gather: bool = False):
         super().__init__(scene, width, height, seed=seed)
         from . import path as pathmod
         import numpy as np
@@ -345,10 +419,20 @@ class PPMTracer(tracer.TracerBase):
             # beambeam rows are duplicated across many cells per beam: give
             # it a deeper budget (beams are thinned at build, keep_prob=0.25)
             vol_max_per_cell = 24 if vol_estimator == "beambeam" else 16
+        self.adaptive_radii = adaptive_radii
+        self.final_gather = final_gather
+        if adaptive_radii:
+            P = width * height
+            self._ppm_state = PixelStats(
+                r2=jnp.full(P, self.radius * self.radius, jnp.float32),
+                n=jnp.zeros(P, jnp.float32), tau=jnp.zeros((P, 3), jnp.float32))
+        else:
+            self._ppm_state = None
         self._eye_jit = jax.jit(partial(
             eye_pass, w=width, h=height, max_depth=max_depth,
             active_types=self.active_types, with_volume=self.with_volume,
-            vol_est=self.vol_est, vol_max_per_cell=vol_max_per_cell))
+            vol_est=self.vol_est, vol_max_per_cell=vol_max_per_cell,
+            alpha=self.alpha, final_gather=final_gather))
         self._surf_grid_jit = jax.jit(_build_surface_grid)
         self._vol_point_jit = jax.jit(_build_vol_grid_point)
         self._vol_ball_jit = jax.jit(_build_vol_grid_ball)
@@ -363,7 +447,13 @@ class PPMTracer(tracer.TracerBase):
         else:
             rows, valid = self._trace_jit(scene, pass_idx=jnp.int32(pass_idx))
         r = jnp.float32(self.radius)
-        cell = jnp.float32(2.0 * self.radius)
+        if self.adaptive_radii:
+            # per-pixel radii can exceed the global schedule (pixels that saw
+            # no photons keep their radius): the 2x2x2-neighborhood query is
+            # only complete when cell >= 2 * max radius
+            cell = 2.0 * jnp.sqrt(jnp.max(self._ppm_state.r2))
+        else:
+            cell = jnp.float32(2.0 * self.radius)
         grid = self._surf_grid_jit(rows, valid, scene.world_lo, scene.world_hi,
                                    cell)
         if not self.with_volume:
@@ -377,13 +467,36 @@ class PPMTracer(tracer.TracerBase):
         else:
             vol_grid = self._vol_point_jit(rows, valid, scene.world_lo,
                                            scene.world_hi, cell)
-        film = self._eye_jit(scene, film, grid, vol_grid, jnp.int32(pass_idx),
-                             radius=r, n_emitted=float(self.n_photons))
+        if self.adaptive_radii:
+            film, self._ppm_state = self._eye_jit(
+                scene, film, grid, vol_grid, jnp.int32(pass_idx),
+                radius=r, n_emitted=float(self.n_photons),
+                ppm_state=self._ppm_state)
+        else:
+            film = self._eye_jit(scene, film, grid, vol_grid, jnp.int32(pass_idx),
+                                 radius=r, n_emitted=float(self.n_photons))
         # progressive radius schedule r_{i+1}^2 = r_i^2 * (i+alpha)/(i+1)
+        # (drives the volumetric estimator; surface radii are per-pixel when
+        # adaptive_radii)
         i = self.pass_idx + 1
         self.radius = float(self.radius * ((i + self.alpha) / (i + 1.0)) ** 0.5)
         self.photons_emitted += self.n_photons
         return film
+
+    def develop(self):
+        img = filmmod.develop(self.film)
+        if self._ppm_state is not None:
+            st = self._ppm_state
+            denom = (max(float(self.pass_idx), 1.0) * jnp.pi
+                     * jnp.maximum(st.r2, 1e-20))
+            img = img + (st.tau / denom[:, None]).reshape(
+                self.height, self.width, 3)
+        return img
+
+    def render(self, n_passes: int = 1):
+        for _ in range(n_passes):
+            self.do_pass()
+        return self.develop()
 
     def status(self):
         s = super().status()
