@@ -125,6 +125,8 @@ def sample_direct(sensor: schema.SensorData, ref_p: Array, u: Array) -> SensorDi
     w2c = sensor.to_world_inv
     t2w = sensor.to_world
     B = ref_p.shape[0]
+    if u is None:  # lens uniforms only matter for the telecentric aperture
+        u = jnp.full((B, 2), 0.5)
 
     def persp(_):
         lens_world = jnp.broadcast_to(t2w[:3, 3], (B, 3))
@@ -152,15 +154,75 @@ def sample_direct(sensor: schema.SensorData, ref_p: Array, u: Array) -> SensorDi
         return SensorDirect(p_film=jnp.stack([px, py], -1), d=d, dist=dist,
                             weight=jnp.repeat(we[..., None], 3, -1), valid=valid)
 
-    def fallback(_):
-        # Non-perspective direct sampling lands in a later stage; return invalid.
-        z2 = jnp.zeros((B, 2))
-        z3 = jnp.zeros((B, 3))
-        return SensorDirect(p_film=z2, d=z3, dist=jnp.zeros(B),
-                            weight=z3, valid=jnp.zeros(B, bool))
+    def spherical(_):
+        # inverse of the equirect mapping in sample_ray (reference
+        # SphericalSensor::sampleDirect, Sensor.h:527-626): every direction
+        # maps to a film position; dOmega/dA_norm = 2 pi^2 sin(theta)
+        w, h = params[5], params[6]
+        sensor_p = jnp.broadcast_to(t2w[:3, 3], (B, 3))
+        to_sensor = sensor_p - ref_p
+        dist = vm.length(to_sensor)
+        d = to_sensor / jnp.maximum(dist[..., None], 1e-12)
+        d_cam = vm.transform_vector(jnp.broadcast_to(w2c, (B, 4, 4)), -d)
+        d_cam = vm.normalize(d_cam)
+        theta = jnp.arccos(jnp.clip(d_cam[..., 1], -1.0, 1.0))
+        phi = jnp.arctan2(d_cam[..., 0], -d_cam[..., 2])
+        px = jnp.mod((1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)) * w, w)
+        py = jnp.clip(theta / jnp.pi * h, 0.0, h - 1e-3)
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        we = 1.0 / (2.0 * jnp.pi ** 2 * sin_t * jnp.maximum(dist, 1e-12) ** 2)
+        valid = dist > 1e-9
+        we = jnp.where(valid, we, 0.0)
+        return SensorDirect(p_film=jnp.stack([px, py], -1), d=d, dist=dist,
+                            weight=jnp.repeat(we[..., None], 3, -1), valid=valid)
+
+    def ortho(_):
+        # parallel projection: the connection direction is the camera axis
+        # (delta); the splat weight is 1/(world film area), no 1/dist^2
+        w, h = params[5], params[6]
+        sx, sy = params[7], params[8]
+        p_cam = vm.transform_point(jnp.broadcast_to(w2c, (B, 4, 4)), ref_p)
+        z = p_cam[..., 2]
+        px = (p_cam[..., 0] / jnp.maximum(sx, 1e-9) + 1.0) * 0.5 * w
+        py = (1.0 - p_cam[..., 1] / jnp.maximum(sy, 1e-9)) * 0.5 * h
+        cam_fwd = t2w[:3, 2] / jnp.linalg.norm(t2w[:3, 2])
+        d = jnp.broadcast_to(-cam_fwd, (B, 3))
+        valid = (z > params[1]) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        area = 4.0 * sx * sy
+        we = jnp.where(valid, 1.0 / jnp.maximum(area, 1e-12), 0.0)
+        return SensorDirect(p_film=jnp.stack([px, py], -1), d=d, dist=z,
+                            weight=jnp.repeat(we[..., None], 3, -1), valid=valid)
+
+    def telecentric(_):
+        # ortho with an aperture: sample a lens offset on the disc; the film
+        # point follows from the focus-plane constraint (x stays the ray
+        # family's anchor). Lens pdf cancels against the lens-area factor of
+        # We (exact as aperture -> 0; reference TelecentricSensor).
+        w, h = params[5], params[6]
+        sx, sy = params[7], params[8]
+        r_ap, fd = params[3], params[4]
+        lens = warp.square_to_uniform_disk_concentric(u) * r_ap
+        p_cam = vm.transform_point(jnp.broadcast_to(w2c, (B, 4, 4)), ref_p)
+        z = p_cam[..., 2]
+        # anchor (x, y) solving p_xy = x + lx * (1 - z/fd)
+        x = p_cam[..., 0] - lens[..., 0] * (1.0 - z / jnp.maximum(fd, 1e-6))
+        y = p_cam[..., 1] - lens[..., 1] * (1.0 - z / jnp.maximum(fd, 1e-6))
+        o_cam = jnp.stack([x + lens[..., 0], y + lens[..., 1],
+                           jnp.zeros_like(x)], -1)
+        o_world = vm.transform_point(jnp.broadcast_to(t2w, (B, 4, 4)), o_cam)
+        to_lens = o_world - ref_p
+        dist = vm.length(to_lens)
+        d = to_lens / jnp.maximum(dist[..., None], 1e-12)
+        px = (x / jnp.maximum(sx, 1e-9) + 1.0) * 0.5 * w
+        py = (1.0 - y / jnp.maximum(sy, 1e-9)) * 0.5 * h
+        valid = (z > params[1]) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        area = 4.0 * sx * sy
+        we = jnp.where(valid, 1.0 / jnp.maximum(area, 1e-12), 0.0)
+        return SensorDirect(p_film=jnp.stack([px, py], -1), d=d, dist=dist,
+                            weight=jnp.repeat(we[..., None], 3, -1), valid=valid)
 
     return jax.lax.switch(sensor.sensor_type,
-                          [fallback, persp, persp, fallback, fallback], None)
+                          [spherical, persp, persp, ortho, telecentric], None)
 
 
 def make_sensor(sensor_type: int, to_world, fov_x_deg: float = 35.0,
