@@ -98,7 +98,8 @@ def _mat_fat_rows(mats: schema.MaterialTable) -> Array:
 
 def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
                uv_footprint: Array | None = None,
-               active_types=None, with_textures: bool = True) -> BsdfCtx:
+               active_types=None, with_textures: bool = True,
+               ewa: tuple | None = None) -> BsdfCtx:
     """Gather material rows + evaluate textures for a lane batch.
 
     active_types (static) skips the nested-BSDF gathers when no
@@ -115,8 +116,12 @@ def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
         p = r[:, 1:1 + P]
         if with_textures:
             tex_ids = _bits_i32(r[:, 1 + P:5 + P])
-            c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3], uv_footprint)
-            c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22], uv_footprint)
+            e_dir = ewa[0] if ewa is not None else None
+            e_maj = ewa[1] if ewa is not None else None
+            c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3],
+                                     uv_footprint, e_dir, e_maj)
+            c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22],
+                                     uv_footprint, e_dir, e_maj)
         else:
             c0, c1 = p[:, 0:3], p[:, 19:22]
         return r, t, p, c0, c1
@@ -441,10 +446,24 @@ def _plastic_sample(ctx, wi, u):
                      sampled_type=stype.astype(jnp.int32), eta=jnp.ones_like(Fi))
 
 
+def _rough_spec_albedo(ctx, cos):
+    """Directional-hemispherical specular reflectance E_spec(cos, alpha) of
+    the rough dielectric interface, from the precomputed tables the reference
+    loads from data/microfacet/*.dat (Engine/RoughTransmittance.cu:100-132).
+    Tables for both distributions are compiled in; the per-lane distribution
+    id selects (eta fixed at the plastic-standard 1.5 table)."""
+    from ..core import rough_transmittance as rt
+    a = jnp.maximum(ctx.params[:, 6], 1e-4)
+    e_bk = rt.eval_specular_albedo(0, 1.5, cos, a)
+    e_ggx = rt.eval_specular_albedo(1, 1.5, cos, a)
+    return jnp.where(_dist(ctx.params) == 1, e_ggx, e_bk)
+
+
 def _roughplastic_eval(ctx, wi, wo):
     """Rough plastic: microfacet dielectric reflection + internally scattered
-    diffuse. Uses the smooth-Fresnel energy split (the reference interpolates
-    precomputed rough-transmittance tables; planned refinement)."""
+    diffuse, with the diffuse energy weighted by the ROUGH transmittance
+    (1 - E_spec(cos, alpha)) tables instead of the smooth Fresnel
+    (reference RoughTransmittance usage in BSDF_Simple.cu roughplastic)."""
     up = (wi[..., 2] > 0) & (wo[..., 2] > 0)
     a_u, a_v = _alphas(ctx.params)
     dist = _dist(ctx.params)
@@ -457,11 +476,11 @@ def _roughplastic_eval(ctx, wi, wo):
     f_spec = ctx.c0 * (F * D * G / (4.0 * ci))[..., None]
 
     diff, _ = _plastic_internal(ctx)
-    Fi = fresnel.fresnel_dielectric(wi[..., 2], eta)
-    Fo = fresnel.fresnel_dielectric(wo[..., 2], eta)
+    Ei = _rough_spec_albedo(ctx, wi[..., 2])
+    Eo = _rough_spec_albedo(ctx, wo[..., 2])
     inv_eta2 = 1.0 / (eta * eta)
     f_diff = diff * (INV_PI * jnp.maximum(wo[..., 2], 0.0) * inv_eta2
-                     * (1.0 - Fi) * (1.0 - Fo))[..., None]
+                     * (1.0 - Ei) * (1.0 - Eo))[..., None]
 
     p_spec = _rp_spec_prob(ctx, wi)
     pdf_spec = mf.pdf(dist, a_u, a_v, wi, h) / jnp.maximum(4.0 * jnp.abs(vm.dot(wo, h)), 1e-8)
@@ -591,8 +610,11 @@ def _hg_phase(cos_theta, g):
 
 
 def _hk_eval(ctx, wi, wo):
-    """Hanrahan-Krueger single scattering in a thin slab (reflection part)."""
-    up = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    """Hanrahan-Krueger single scattering in a thin slab: reflection AND
+    glossy transmission lobes (reference BSDF_Simple.cu:1315-1460), with the
+    HG phase as the scattering pdf (the reference importance-samples the
+    phase, :1348-1365)."""
+    same = (wi[..., 2] > 0) == (wo[..., 2] > 0)
     sig_s = _lum(ctx.c0)
     sig_t = sig_s + _lum(ctx.c1)
     albedo = jnp.where(sig_t > 0, sig_s / jnp.maximum(sig_t, 1e-9), 0.0)
@@ -601,29 +623,54 @@ def _hk_eval(ctx, wi, wo):
     ci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)
     co = jnp.maximum(jnp.abs(wo[..., 2]), 1e-6)
     p = _hg_phase(-vm.dot(wi, wo), g)
+    tint = ctx.c0 / jnp.maximum(sig_s, 1e-9)[..., None]
     # single-scatter reflection from a slab of optical depth tau
     fr_ss = albedo * p * ci / (ci + co) * (1.0 - jnp.exp(-tau * (1.0 / ci + 1.0 / co)))
-    f = (ctx.c0 / jnp.maximum(sig_s, 1e-9)[..., None]) * (fr_ss * co / ci)[..., None]
-    pdf = warp.square_to_uniform_hemisphere_pdf() * jnp.ones_like(ci)
-    return Lobe(f=jnp.where(up[..., None], f, 0.0), pdf=jnp.where(up, pdf, 0.0))
+    # single-scatter transmission through the slab: the classic
+    # (e^{-tau/ci} - e^{-tau/co}) / (ci - co) form with its ci == co limit
+    dc = ci - co
+    near = jnp.abs(dc) < 1e-4
+    ft_gen = (jnp.exp(-tau / ci) - jnp.exp(-tau / co)) / jnp.where(near, 1.0, dc)
+    ft_lim = (tau / (ci * ci)) * jnp.exp(-tau / ci)
+    ft_ss = albedo * p * ci * jnp.where(near, ft_lim, ft_gen)
+    fr = (fr_ss * co / ci)
+    ft = (ft_ss * co / ci)
+    f = tint * jnp.where(same, fr, ft)[..., None]
+    # pdf: HG phase about the propagation direction (both hemispheres)
+    pdf = _hg_phase(-vm.dot(wi, wo), g)
+    return Lobe(f=jnp.maximum(f, 0.0), pdf=jnp.maximum(pdf, 0.0))
 
 
 def _hk_sample(ctx, wi, u):
+    """Sample delta pass-through vs an HG-distributed scatter direction."""
     sig_s = _lum(ctx.c0)
     sig_t = sig_s + _lum(ctx.c1)
     tau = sig_t * ctx.params[:, 17]
+    g = ctx.params[:, 16]
     ci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)
     trans = jnp.exp(-tau / ci)  # unscattered straight-through transmission
     choose_trans = u[..., 0] < trans
     wo_t = -wi
-    wo_r = warp.square_to_uniform_hemisphere(u[..., 1:3])
-    wo_r = jnp.where((wi[..., 2] < 0)[..., None], -wo_r, wo_r)
-    wo = jnp.where(choose_trans[..., None], wo_t, wo_r)
-    lob = _hk_eval(ctx, wi, jnp.where((wi[..., 2] < 0)[..., None], -wo_r, wo_r))
-    w_r = lob.f / jnp.maximum(lob.pdf * (1 - trans)[...], 1e-12)[..., None]
+    # HG inversion about the propagation direction -wi
+    g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sqr = (1.0 - g_safe * g_safe) / (1.0 - g_safe + 2.0 * g_safe * u[..., 1])
+    cos_hg = (1.0 + g_safe * g_safe - sqr * sqr) / (2.0 * g_safe)
+    cos_t = jnp.clip(jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u[..., 1], cos_hg),
+                     -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u[..., 2]
+    fr_ = fr.Frame.from_normal(-wi)
+    wo_s = fr_.to_world(jnp.stack([sin_t * jnp.cos(phi),
+                                   sin_t * jnp.sin(phi), cos_t], -1))
+    wo = jnp.where(choose_trans[..., None], wo_t, wo_s)
+    lob = _hk_eval(ctx, wi, wo_s)
+    w_r = lob.f / jnp.maximum((lob.pdf * (1.0 - trans))[..., None], 1e-12)
     weight = jnp.where(choose_trans[..., None], jnp.ones_like(ctx.c0), w_r)
-    pdf = jnp.where(choose_trans, trans, (1 - trans) * lob.pdf)
-    stype = jnp.where(choose_trans, records.T_DELTA_TRANSMISSION, records.T_GLOSSY_REFLECTION)
+    pdf = jnp.where(choose_trans, trans, (1.0 - trans) * lob.pdf)
+    same_side = (wi[..., 2] > 0) == (wo[..., 2] > 0)
+    stype = jnp.where(choose_trans, records.T_DELTA_TRANSMISSION,
+                      jnp.where(same_side, records.T_GLOSSY_REFLECTION,
+                                records.T_GLOSSY_TRANSMISSION))
     return SampleOut(wo=wo, weight=weight, pdf=jnp.maximum(pdf, 1e-12),
                      sampled_type=stype.astype(jnp.int32),
                      eta=jnp.ones(wi.shape[:-1]))
@@ -860,8 +907,15 @@ def sample(ctx: BsdfCtx, wi: Array, u: Array,
 
 
 def sample_with_rng(ctx: BsdfCtx, wi: Array, state: Array,
-                    active_types: Sequence[int] = ALL_TYPES):
+                    active_types: Sequence[int] = ALL_TYPES,
+                    u_override: Optional[Array] = None,
+                    override_mask: Optional[Array] = None):
+    """Draw the 3 BSDF-sampling uniforms from the PCG stream; lanes where
+    override_mask is set use u_override instead (low-discrepancy sequences
+    injected for the first bounce — reference Sampler_device.h sequences)."""
     state, u = rngmod.next_float3(state)
+    if u_override is not None:
+        u = jnp.where(override_mask[..., None], u_override, u)
     return sample(ctx, wi, u, active_types), state
 
 

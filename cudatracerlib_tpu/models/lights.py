@@ -180,13 +180,19 @@ def _env_pdf_dir(scene: schema.SceneData, d: Array) -> Array:
 
 
 def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
-                         state: Array) -> tuple:
+                         state: Array, u_override: Array = None,
+                         override_mask: Array = None) -> tuple:
     """NEE: sample one emitter (by power CDF), one point on it, return the
-    direct-illumination record. (KernelDynamicScene::sampleEmitterDirect)."""
+    direct-illumination record. (KernelDynamicScene::sampleEmitterDirect).
+    u_override (B,3) replaces (u_sel, u2) on lanes where override_mask is
+    set (low-discrepancy first-bounce dims)."""
     lights = scene.lights
     B = ref_p.shape[0]
     state, u_sel = rngmod.next_float(state)
     state, u2 = rngmod.next_float2(state)
+    if u_override is not None:
+        u_sel = jnp.where(override_mask, u_override[..., 0], u_sel)
+        u2 = jnp.where(override_mask[..., None], u_override[..., 1:3], u2)
     idx, pdf_sel = _select_light(lights, u_sel)
     row = jnp.take(_light_fat_rows(lights), idx, axis=0)
     NP = schema.N_LIGHT_PARAMS

@@ -39,7 +39,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 with_media: bool | None = None, with_alpha: bool = False,
                 with_bump: bool = False, regularize: bool = False,
                 regularize_alpha: float = 0.08, with_textures: bool = True,
-                return_rays: bool = False):
+                return_rays: bool = False, sampler_type: int = 0,
+                pixel_idx: Array = None, sample_idx=0):
     """Estimate radiance along each lane's camera ray. Returns (L, state).
 
     with_media toggles participating-media handling (medium distance sampling
@@ -63,6 +64,21 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     prev_delta = jnp.ones(B, bool)  # camera rays count as "delta" (weight 1)
     had_smooth = jnp.zeros(B, bool)  # a non-delta bounce happened (regularization)
     cur = rays
+    # low-discrepancy first-bounce dims (reference sequence sampler): the NEE
+    # light selection/position and the BSDF sample of depth 0 come from the
+    # selected sequence; deeper bounces keep the PCG stream
+    if sampler_type != 0 and pixel_idx is not None:
+        from . import samplers
+        u_nee0 = jnp.stack(
+            [samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 4),
+             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 5),
+             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 6)], -1)
+        u_bsdf0 = jnp.stack(
+            [samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 7),
+             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 8),
+             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 9)], -1)
+    else:
+        u_nee0 = u_bsdf0 = None
 
     def bounce(depth, carry):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
@@ -121,9 +137,18 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
         # --- surface shading setup ---
         footprint = cone * hit.t * si.uv_density
+        # EWA anisotropy: the pixel footprint stretches by 1/cos(theta) at
+        # grazing incidence along the view direction's tangent projection
+        cos_v = jnp.abs(vm.dot(si.ns, cur.d))
+        major = footprint / jnp.clip(cos_v, 0.125, 1.0)
+        d_t = vm.dot(cur.d, si.frame_t)
+        d_s = vm.dot(cur.d, si.frame_s)
+        d_len = jnp.sqrt(jnp.maximum(d_t * d_t + d_s * d_s, 1e-12))
+        ewa_dir = jnp.stack([d_t / d_len, d_s / d_len], -1)
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv, footprint,
                                  active_types=active_types,
-                                 with_textures=with_textures)
+                                 with_textures=with_textures,
+                                 ewa=(ewa_dir, major))
         if regularize:
             ctx = bsdfmod.regularize_ctx(ctx, had_smooth, regularize_alpha)
         frame = si.frame()
@@ -136,7 +161,12 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 nee_p = jnp.where(med_event[:, None], ms.p, si.p)
             else:
                 nee_p = si.p
-            ed, state = lightsmod.sample_emitter_direct(scene, nee_p, state)
+            if u_nee0 is not None:
+                ed, state = lightsmod.sample_emitter_direct(
+                    scene, nee_p, state, u_override=u_nee0,
+                    override_mask=(depth == 0) & nee_active)
+            else:
+                ed, state = lightsmod.sample_emitter_direct(scene, nee_p, state)
             wo_local_nee = frame.to_local(ed.d)
             lob = bsdfmod.evaluate(ctx, wi_local, wo_local_nee, active_types)
             if with_media:
@@ -166,7 +196,12 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             L = L + jnp.where((nee_active & ~occluded)[:, None], contrib, 0.0)
 
         # --- continue the path: BSDF sample (surface) / phase sample (medium) ---
-        s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
+        if u_bsdf0 is not None:
+            s, state = bsdfmod.sample_with_rng(
+                ctx, wi_local, state, active_types, u_override=u_bsdf0,
+                override_mask=(depth == 0) & hit_l)
+        else:
+            s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
         wo_world = frame.to_world(s.wo)
         is_delta = (s.sampled_type & records.T_DELTA) != 0
         weight = s.weight
@@ -220,7 +255,8 @@ class PathTracer(tracer.TracerBase):
     def __init__(self, scene, width, height, max_depth: int = 8,
                  rr_depth: int = 3, use_nee: bool = True, regularize: bool = False,
                  spp_per_pass: int = 1, chunk_size: int = 1 << 17, seed: int = 0,
-                 active_types: Optional[Sequence[int]] = None):
+                 active_types: Optional[Sequence[int]] = None,
+                 sampler_type: int = 0):
         super().__init__(scene, width, height, spp_per_pass=spp_per_pass, seed=seed)
         self.max_depth = max_depth
         if active_types is None:
@@ -241,15 +277,19 @@ class PathTracer(tracer.TracerBase):
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
             spp=spp_per_pass, active_types=self.active_types,
             with_alpha=self.with_alpha, with_bump=self.with_bump,
-            regularize=regularize, with_textures=self.with_textures))
+            regularize=regularize, with_textures=self.with_textures,
+            sampler_type=sampler_type))
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
             # the counter is accumulated INSIDE the jitted chunk: no eager
             # device ops in the pass loop, no device->host reads (the axon
-            # client permanently slows dispatch after the first D2H transfer)
-            film, self._rays_dev = self._jitted(scene, film, self._rays_dev,
-                                                jnp.int32(pass_idx), jnp.int32(c))
+            # client permanently slows dispatch after the first D2H transfer).
+            # The tracer seed offsets the pass index so differently-seeded
+            # tracers draw decorrelated streams.
+            film, self._rays_dev = self._jitted(
+                scene, film, self._rays_dev,
+                jnp.int32(pass_idx + (self.seed << 16)), jnp.int32(c))
         return film
 
     @property
@@ -275,19 +315,21 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
               with_bump: bool = False, regularize: bool = False,
-              with_textures: bool = True) -> filmmod.Film:
+              with_textures: bool = True, sampler_type: int = 0) -> filmmod.Film:
     base = (chunk_idx * chunk) % (w * h)
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
     nrays = jnp.float32(0.0)
     for s_i in range(spp):
         sample_idx = pass_idx * spp + s_i
         rays, px, py, state, wt = tracer.gen_camera_rays(
-            scene, pixel_idx, sample_idx, pass_idx, w, h)
+            scene, pixel_idx, sample_idx, pass_idx, w, h,
+            sampler_type=sampler_type)
         L, state, nr = pt_radiance(scene, rays, state, max_depth, rr_depth,
                                    use_nee, active_types, with_alpha=with_alpha,
                                    with_bump=with_bump, regularize=regularize,
                                    with_textures=with_textures,
-                                   return_rays=True)
+                                   return_rays=True, sampler_type=sampler_type,
+                                   pixel_idx=pixel_idx, sample_idx=sample_idx)
         nrays = nrays + nr
         # measured on v5e: XLA's scatter-add here is FASTER than a
         # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes)

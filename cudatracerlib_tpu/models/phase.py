@@ -32,20 +32,36 @@ def _rayleigh(cos_t):
     return (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_t * cos_t)
 
 
+# Kajiya-Kay constants (reference defaults, PhaseFunction.cu:72-76)
+KK_KS, KK_KD, KK_EXPONENT = 0.4, 0.2, 4.0
+
+
+def _kajiya_kay(cos_t):
+    """Reference KajiyaKayPhaseFunction::Evaluate (PhaseFunction.cu:95-110):
+    its reflected-direction construction collapses to R = -wi, i.e. a
+    cos^e lobe about the propagation direction plus an isotropic kd floor.
+    Normalized so each term integrates to its k over the sphere."""
+    spec_norm = (KK_EXPONENT + 1.0) / (2.0 * jnp.pi)
+    spec = jnp.maximum(cos_t, 0.0) ** KK_EXPONENT * spec_norm
+    return KK_KD * INV_FOURPI + KK_KS * spec
+
+
 def eval_phase(ptype: Array, g: Array, wi_prop: Array, wo: Array) -> Array:
     """p(wi->wo); wi_prop is the incoming propagation direction."""
     cos_t = vm.dot(wi_prop, wo)
     p_hg = _hg(cos_t, g)
     p_iso = jnp.full_like(cos_t, INV_FOURPI)
     p_ray = _rayleigh(cos_t)
-    # Kajiya-Kay needs the fiber tangent; approximated isotropically here
+    p_kk = _kajiya_kay(cos_t)
     out = jnp.where(ptype == PH_HG, p_hg,
-                    jnp.where(ptype == PH_RAYLEIGH, p_ray, p_iso))
+                    jnp.where(ptype == PH_RAYLEIGH, p_ray,
+                              jnp.where(ptype == PH_KAJIYAKAY, p_kk, p_iso)))
     return out
 
 
 def pdf_phase(ptype, g, wi_prop, wo) -> Array:
-    # HG & isotropic sample exactly; Rayleigh sampled isotropically -> pdf iso
+    # HG & isotropic sample exactly; Rayleigh and Kajiya-Kay are sampled
+    # isotropically (as the reference does) -> their pdf is the uniform one
     cos_t = vm.dot(wi_prop, wo)
     p_hg = _hg(cos_t, g)
     return jnp.where(ptype == PH_HG, p_hg, jnp.full_like(cos_t, INV_FOURPI))

@@ -30,6 +30,13 @@ D_ALBEDO = 8        # first-hit diffuse reflectance approximation
 D_UVSET = 9
 D_FIRST_F = 10      # BSDF response for one sampled direction at the first hit
 D_FIRST_DIRECT = 11  # one-sample direct lighting at the first hit
+# first-NON-DELTA variants (reference PrimTracer.h:7-8): the walk continues
+# through specular chains (mirror/glass) and the AOV is taken at the first
+# smooth surface — what you see "through" the glass
+D_ND_NORMAL = 12
+D_ND_DEPTH = 13
+D_ND_ALBEDO = 14
+D_ND_MODES = (D_ND_NORMAL, D_ND_DEPTH, D_ND_ALBEDO)
 
 
 class PrimTracer(tracer.TracerBase):
@@ -60,7 +67,37 @@ def _prim_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
     hit = traversal8.intersect_scene(scene.geom, rays)
     si = shading.fill_dg(scene.geom, rays, hit)
-    val = _aov(scene, rays, hit, si, draw_mode)
+    if draw_mode in D_ND_MODES:
+        # continue through delta lobes to the first smooth vertex, tracking
+        # the accumulated distance (reference first-non-delta AOVs)
+        from ..core import rng as rngmod
+        from . import bsdf as bsdfmod
+        B = w * h
+        state = rngmod.seed(pixel_idx, 0, 0xD0)
+        t_acc = hit.t
+        for _ in range(6):
+            ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
+            delta = si.valid & bsdfmod.is_delta_only(ctx)
+            frame = si.frame()
+            s_, state = bsdfmod.sample_with_rng(ctx, frame.to_local(si.wi), state)
+            wo_world = frame.to_world(s_.wo)
+            nxt = traversal.Rays(
+                o=shading.offset_ray_origin(si.p, si.ng, wo_world), d=wo_world,
+                tmin=jnp.zeros(B), tmax=jnp.where(delta, 1e30, 0.0))
+            hit2 = traversal8.intersect_scene(scene.geom, nxt)
+            si2 = shading.fill_dg(scene.geom, nxt, hit2)
+            adv = delta & hit2.valid
+            t_acc = jnp.where(adv, t_acc + hit2.t, t_acc)
+            si = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    adv.reshape(adv.shape + (1,) * (old.ndim - 1)), new, old),
+                si2, si)
+        hit = hit._replace(t=t_acc)
+        base_mode = {D_ND_NORMAL: D_NORMAL_SHADE, D_ND_DEPTH: D_LINEAR_DEPTH,
+                     D_ND_ALBEDO: D_ALBEDO}[draw_mode]
+        val = _aov(scene, rays, hit, si, base_mode)
+    else:
+        val = _aov(scene, rays, hit, si, draw_mode)
     val = jnp.where(si.valid[:, None], val, 0.0)
     return filmmod.add_samples(film, px, py, val)
 

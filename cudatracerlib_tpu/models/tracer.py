@@ -24,16 +24,24 @@ Array = jax.Array
 
 
 def gen_camera_rays(scene: schema.SceneData, pixel_idx: Array, sample_idx,
-                    pass_idx, w: int, h: int, filter_type: int = 0):
+                    pass_idx, w: int, h: int, filter_type: int = 0,
+                    sampler_type: int = 0):
     """Per-lane camera ray generation with filter-importance-sampled jitter.
 
     pixel_idx: (B,) flat pixel ids (y*w + x). Returns (rays, px, py, rng_state).
+    sampler_type (static): 0 = independent PCG, 1 = stratified, 2 = Sobol —
+    the reference's selectable sampler backends (Kernel/Sampler_device.h),
+    applied to the camera dims (0-1 pixel jitter, 2-3 lens).
     """
     state = rngmod.seed(pixel_idx, sample_idx, pass_idx)
     px = (pixel_idx % w).astype(jnp.int32)
     py = (pixel_idx // w).astype(jnp.int32)
     state, u_pix = rngmod.next_float2(state)
     state, u_lens = rngmod.next_float2(state)
+    if sampler_type != 0:
+        from . import samplers
+        u_pix = samplers.sample_2d(sampler_type, pixel_idx, sample_idx, 0)
+        u_lens = samplers.sample_2d(sampler_type, pixel_idx, sample_idx, 2)
     jitter = _filter_jitter(filter_type, u_pix)
     p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + jitter[:, 0],
                         py.astype(jnp.float32) + 0.5 + jitter[:, 1]], axis=-1)

@@ -15,12 +15,20 @@ Array = jax.Array
 
 
 def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
-                 default: Array, uv_footprint: Array | None = None) -> Array:
+                 default: Array, uv_footprint: Array | None = None,
+                 ewa_dir: Array | None = None,
+                 ewa_major: Array | None = None) -> Array:
     """Evaluate texture rows for a lane batch.
 
     tex_id: (B,) i32 (-1 = use `default`); uv: (B, 2); default: (B, 3).
     uv_footprint: optional (B,) pixel footprint in UV units (ray-cone width *
     uv density); each image picks its mip level from it (trilinear).
+    ewa_dir/ewa_major: optional anisotropy — unit uv-space direction of the
+    footprint's MAJOR axis and its length. Images are then filtered with
+    gaussian-weighted taps along the major axis at the minor-axis LOD
+    (the TPU-friendly fixed-tap equivalent of the reference's EWA ellipse
+    loop, Engine/MIPMap_device.h:57-83: same effect — sharp at grazing
+    angles without the trilinear over/under-blur tradeoff).
     """
     tid = jnp.maximum(tex_id, 0)
     # one fat-row gather: [type | params | image_id] (width-free on TPU)
@@ -49,7 +57,8 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
     # uv debug
     c_uv = jnp.stack([u % 1.0, v % 1.0, jnp.zeros_like(u)], axis=-1)
 
-    # image: bilinear (mip 0) or trilinear (ray-cone footprint) from the atlas
+    # image: bilinear (mip 0), trilinear (ray-cone footprint), or EWA-style
+    # anisotropic taps from the atlas
     if uv_footprint is None:
         c_image = _sample_image(tex, tid, u, v)
     else:
@@ -62,9 +71,26 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
         l = jnp.clip(lod, 0.0, nm.astype(jnp.float32) - 1.0)
         l0 = jnp.floor(l).astype(jnp.int32)
         fl = (l - l0.astype(jnp.float32))[:, None]
-        c_lo = _sample_image(tex, tid, u, v, l0)
-        c_hi = _sample_image(tex, tid, u, v, jnp.minimum(l0 + 1, nm - 1))
-        c_image = c_lo * (1 - fl) + c_hi * fl
+
+        def tri_at(uu, vv):
+            c_lo = _sample_image(tex, tid, uu, vv, l0)
+            c_hi = _sample_image(tex, tid, uu, vv, jnp.minimum(l0 + 1, nm - 1))
+            return c_lo * (1 - fl) + c_hi * fl
+
+        if ewa_dir is None:
+            c_image = tri_at(u, v)
+        else:
+            # 5 gaussian taps spanning (major - minor) along the major axis;
+            # the LOD above already covers the minor width
+            span = jnp.maximum(ewa_major - uv_footprint, 0.0)
+            # tap offsets are in RAW uv; scale into the texture's mapped uv
+            du = ewa_dir[:, 0] * span * p[:, 6]
+            dv = ewa_dir[:, 1] * span * p[:, 7]
+            taps = (-0.5, -0.25, 0.0, 0.25, 0.5)
+            wts = (0.13, 0.235, 0.27, 0.235, 0.13)
+            c_image = jnp.zeros_like(c_const)
+            for t_, w_ in zip(taps, wts):
+                c_image = c_image + w_ * tri_at(u + du * t_, v + dv * t_)
 
     # wireframe: distance to nearest triangle edge is integrator-side; here
     # approximate with uv-grid lines (exact version uses barycentrics)

@@ -139,3 +139,61 @@ def test_preetham_sunsky():
     assert img.max() > 100            # sun disc present
     no_sun = sunsky.preetham_sky((0.4, 0.6, 0.4), with_sun=False, resolution=32)
     assert no_sun.max() < 50
+
+
+def test_ewa_beats_trilinear_at_grazing():
+    """Anisotropic (EWA-style) filtering must reconstruct an elongated
+    footprint better than isotropic trilinear at either the minor (aliases)
+    or major (overblurs) width — reference Engine/MIPMap_device.h:57-83."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cudatracerlib_tpu.ops import texture as texmod
+    from cudatracerlib_tpu.scene import host, schema
+
+    # vertical stripes: high frequency along u, constant along v
+    n = 128
+    img = np.zeros((n, n, 3), np.float32)
+    img[:, ::2] = 1.0
+    sc = host.DynamicScene()
+    spec = host.TextureSpec(tex_type=schema.TEX_IMAGE, image=img)
+    sc.add_material(host.MaterialSpec(reflectance=(1, 1, 1),
+                                      tex_reflectance=spec))
+    from cudatracerlib_tpu.scene import sensors, shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+    sc.create_node(shapes.rectangle(), 0)
+    sc.set_sensor(sensors.make_sensor(schema.SENSOR_PERSPECTIVE, tf.look_at(
+        [0, 0, -3], [0, 0, 0]), film_w=8, film_h=8))
+    scene = sc.build()
+    tex = scene.textures
+
+    B = 64
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(rng.random((B, 2)).astype(np.float32))
+    tid = jnp.zeros(B, jnp.int32)
+    default = jnp.zeros((B, 3))
+    # footprint: minor covers ~2 texels, major stretches 16x along v
+    minor = jnp.full(B, 2.0 / n)
+    major = minor * 16.0
+    e_dir = jnp.tile(jnp.asarray([[1.0, 0.0]]), (B, 1))  # stretch across stripes
+
+    # ground truth: supersample bilinear over the elongated footprint
+    S = 32
+    acc = jnp.zeros((B, 3))
+    for k in range(S):
+        t = (k + 0.5) / S - 0.5
+        uv_k = uv + e_dir * (major[:, None] * t)
+        acc = acc + texmod.eval_texture(tex, tid, uv_k, default)
+    truth = np.asarray(acc / S)
+
+    ewa = np.asarray(texmod.eval_texture(tex, tid, uv, default,
+                                         uv_footprint=minor,
+                                         ewa_dir=e_dir, ewa_major=major))
+    tri_minor = np.asarray(texmod.eval_texture(tex, tid, uv, default,
+                                               uv_footprint=minor))
+    tri_major = np.asarray(texmod.eval_texture(tex, tid, uv, default,
+                                               uv_footprint=major))
+    e_ewa = np.mean((ewa - truth) ** 2)
+    e_min = np.mean((tri_minor - truth) ** 2)
+    e_maj = np.mean((tri_major - truth) ** 2)
+    assert e_ewa < e_min, (e_ewa, e_min)
+    assert e_ewa < e_maj * 1.05, (e_ewa, e_maj)
