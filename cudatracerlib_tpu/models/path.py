@@ -37,7 +37,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 max_depth: int = 8, rr_depth: int = 3, use_nee: bool = True,
                 active_types: Sequence[int] = bsdfmod.ALL_TYPES,
                 with_media: bool | None = None, with_alpha: bool = False,
-                with_bump: bool = False, regularize: bool = False,
+                with_bump: bool = False, with_parallax: bool = False,
+                with_bssrdf: bool = False, regularize: bool = False,
                 regularize_alpha: float = 0.08, with_textures: bool = True,
                 return_rays: bool = False, sampler_type: int = 0,
                 pixel_idx: Array = None, sample_idx=0):
@@ -82,13 +83,41 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
     def bounce(depth, carry):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-         nrays) = carry
+         nrays, ins_med, ins_mat) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         # live-ray counter (reference g_RayTracedCounter semantics: count only
         # rays actually traced, not launched lanes)
         nrays = nrays + jnp.sum(active.astype(jnp.float32))
         hit = traversal8.intersect_scene(geom, trace_rays)
+
+        # --- BSSRDF internal random walk (reference Material.h:38-60): lanes
+        # inside a subsurface material sample a homogeneous scattering
+        # distance against the surface exit; scatter events redirect the walk
+        # with the material's HG phase before any surface logic runs ---
+        if with_bssrdf:
+            mp = scene.materials.params
+            imx = jnp.maximum(ins_mat, 0)
+            sa_b = jnp.take(mp[:, 25:28], imx, axis=0)
+            ss_b = jnp.take(mp[:, 28:31], imx, axis=0)
+            g_b = jnp.take(mp[:, 31], imx)
+            sig_tb = sa_b + ss_b
+            sbar = jnp.maximum(jnp.mean(sig_tb, -1), 1e-6)
+            state, u_b = rngmod.next_float(state)
+            t_s = -jnp.log(jnp.maximum(1.0 - u_b, 1e-9)) / sbar
+            t_exit = jnp.where(hit.valid, hit.t, 1e7)
+            bss_scatter = ins_med & active & (t_s < t_exit)
+            bss_through = ins_med & active & ~bss_scatter
+            pdf_sc = sbar * jnp.exp(-sbar * t_s)
+            w_sc = ss_b * jnp.exp(-sig_tb * t_s[:, None]) / jnp.maximum(
+                pdf_sc, 1e-20)[:, None]
+            w_th = jnp.exp(-sig_tb * t_exit[:, None]) / jnp.maximum(
+                jnp.exp(-sbar * t_exit), 1e-20)[:, None]
+            beta = jnp.where(bss_scatter[:, None], beta * w_sc,
+                             jnp.where(bss_through[:, None], beta * w_th, beta))
+            bss_p = cur.o + cur.d * t_s[:, None]
+        else:
+            bss_scatter = jnp.zeros(B, bool)
 
         # --- medium interaction on this segment? ---
         if with_media:
@@ -101,6 +130,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             med_event = jnp.zeros(B, bool)
 
         miss = active & ~hit.valid & ~med_event
+        if with_bssrdf:
+            miss = miss & ~ins_med
 
         # --- escaped rays: environment ---
         env_le = lightsmod.eval_environment(scene, cur.d)
@@ -114,9 +145,11 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         # keep true geometric orientation: dielectrics need the signed side,
         # and two-sided opaque materials are mirrored inside the BSDF layer
         si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
+        if with_parallax:
+            si = bsdfmod.apply_parallax(scene, si)
         if with_bump:
             si = bsdfmod.apply_bump(scene, si)
-        hit_l = active & hit.valid & ~med_event
+        hit_l = active & hit.valid & ~med_event & ~bss_scatter
         if with_alpha:
             # stochastic alpha test: transparent lanes pass straight through
             a = bsdfmod.eval_alpha(scene, si.mat_id, si.uv)
@@ -157,6 +190,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         # --- next-event estimation (surface and medium vertices jointly) ---
         if use_nee:
             nee_active = hit_l | med_event
+            if with_bssrdf:  # inside lanes: light arrives via the walk only
+                nee_active = nee_active & ~ins_med
             if with_media:
                 nee_p = jnp.where(med_event[:, None], ms.p, si.p)
             else:
@@ -222,8 +257,29 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             is_delta = jnp.where(alpha_pass, True, is_delta)
             new_o = jnp.where(alpha_pass[:, None],
                               si.p + cur.d * 1e-4, new_o)
+        if with_bssrdf:
+            # scatter events inside the medium: HG-redirect, keep walking
+            state, u_phb = rngmod.next_float2(state)
+            wo_b, w_phb, pdf_phb = phasemod.sample_phase(
+                jnp.zeros(B, jnp.int32), g_b, cur.d, u_phb)
+            wo_world = jnp.where(bss_scatter[:, None], wo_b, wo_world)
+            weight = jnp.where(bss_scatter[:, None], w_phb[:, None], weight)
+            next_pdf = jnp.where(bss_scatter, pdf_phb, next_pdf)
+            is_delta = jnp.where(bss_scatter, False, is_delta)
+            new_o = jnp.where(bss_scatter[:, None], bss_p, new_o)
+            # toggle inside/outside when a transmission lobe crosses a
+            # BSSRDF surface
+            trans = (s.sampled_type & (records.T_DELTA_TRANSMISSION
+                                       | records.T_GLOSSY_TRANSMISSION
+                                       | records.T_DIFFUSE_TRANSMISSION)) != 0
+            bss_surf = jnp.take(mp[:, 25:31].sum(-1),
+                                jnp.maximum(si.mat_id, 0)) > 0
+            toggle = hit_l & trans & bss_surf
+            entering = toggle & ~ins_med
+            ins_mat = jnp.where(entering, si.mat_id, ins_mat)
+            ins_med = jnp.where(toggle, ~ins_med, ins_med)
         beta_next = beta * weight
-        cont = hit_l | med_event | alpha_pass
+        cont = hit_l | med_event | alpha_pass | bss_scatter
         alive = cont & (jnp.max(jnp.abs(weight), axis=-1) > 0) & (depth + 1 < max_depth)
 
         # --- Russian roulette on throughput ---
@@ -239,10 +295,11 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         nxt = traversal.Rays(o=new_o, d=wo_world,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
-                next_pdf, is_delta, nxt, state, had_smooth2, nrays)
+                next_pdf, is_delta, nxt, state, had_smooth2, nrays,
+                ins_med, ins_mat)
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-             jnp.float32(0.0))
+             jnp.float32(0.0), jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
     if return_rays:
         return carry[0], carry[6], carry[8]
@@ -267,6 +324,8 @@ class PathTracer(tracer.TracerBase):
         self.active_types = tuple(active_types)
         self.with_alpha = bsdfmod.scene_has_alpha(scene)
         self.with_bump = bsdfmod.scene_has_bump(scene)
+        self.with_parallax = bsdfmod.scene_has_parallax(scene)
+        self.with_bssrdf = bsdfmod.scene_has_bssrdf(scene)
         self.with_textures = bsdfmod.scene_has_textures(scene)
         self.chunk_size = min(chunk_size, width * height)
         n_chunks = (width * height + self.chunk_size - 1) // self.chunk_size
@@ -277,6 +336,7 @@ class PathTracer(tracer.TracerBase):
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
             spp=spp_per_pass, active_types=self.active_types,
             with_alpha=self.with_alpha, with_bump=self.with_bump,
+            with_parallax=self.with_parallax, with_bssrdf=self.with_bssrdf,
             regularize=regularize, with_textures=self.with_textures,
             sampler_type=sampler_type))
 
@@ -314,7 +374,8 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
               pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
-              with_bump: bool = False, regularize: bool = False,
+              with_bump: bool = False, with_parallax: bool = False,
+              with_bssrdf: bool = False, regularize: bool = False,
               with_textures: bool = True, sampler_type: int = 0) -> filmmod.Film:
     base = (chunk_idx * chunk) % (w * h)
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
@@ -326,7 +387,10 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
             sampler_type=sampler_type)
         L, state, nr = pt_radiance(scene, rays, state, max_depth, rr_depth,
                                    use_nee, active_types, with_alpha=with_alpha,
-                                   with_bump=with_bump, regularize=regularize,
+                                   with_bump=with_bump,
+                                   with_parallax=with_parallax,
+                                   with_bssrdf=with_bssrdf,
+                                   regularize=regularize,
                                    with_textures=with_textures,
                                    return_rays=True, sampler_type=sampler_type,
                                    pixel_idx=pixel_idx, sample_idx=sample_idx)

@@ -68,6 +68,13 @@ class MaterialSpec:
     tex_transmittance: Optional[TextureSpec] = None
     tex_alpha_mask: Optional[TextureSpec] = None
     tex_bump: Optional[TextureSpec] = None
+    parallax_scale: float = 0.0   # >0: parallax-occlusion mapping with the bump height map
+    # BSSRDF: internal medium attached to the surface (reference
+    # Material.h:38-60 GetBSSRDF); paths transmitting into the surface
+    # random-walk through this homogeneous medium until they exit
+    bssrdf_sigma_a: tuple = (0.0, 0.0, 0.0)
+    bssrdf_sigma_s: tuple = (0.0, 0.0, 0.0)
+    bssrdf_g: float = 0.0
     two_sided: bool = True
 
 
@@ -107,6 +114,10 @@ def _pack_material(spec: MaterialSpec, mats: list, texs: list) -> int:
     p[19:22] = spec.transmittance
     p[22] = 1.0 if spec.two_sided else 0.0
     p[23] = spec.dispersion_b
+    p[24] = spec.parallax_scale
+    p[25:28] = spec.bssrdf_sigma_a
+    p[28:31] = spec.bssrdf_sigma_s
+    p[31] = spec.bssrdf_g
     # sigma_s/sigma_a for hk share the color slots (c0/c1) by convention
     row = dict(mat_type=spec.bsdf_type, params=p,
                tex=np.array([tex_id(spec.tex_reflectance), tex_id(spec.tex_transmittance),
@@ -166,6 +177,12 @@ class DynamicScene:
             self.set_node_transform(nid, m)
 
         inst_map = getattr(self, "_inst_of_node", None)
+        if scene_data.geom.inst is not None and (
+                inst_map is None
+                or any(nid not in inst_map for nid in node_transforms)):
+            # moved a node that lives in the flattened part of a two-level
+            # scene: the refit below assumes the flattened layout, so rebuild
+            return self.build()
         if (scene_data.geom.inst is not None and inst_map is not None
                 and all(nid in inst_map for nid in node_transforms)):
             h = self._inst_host
@@ -310,7 +327,12 @@ class DynamicScene:
             for idx, node in enumerate(nodes):
                 if node.emission is None:
                     by_mesh.setdefault(id(node.mesh), []).append(idx)
-            groups = {k: v for k, v in by_mesh.items() if len(v) >= 2}
+            # instance only when the sharing saves real memory: tiny shared
+            # meshes (e.g. unit rectangles reused for walls) flatten faster
+            # than a TLAS pass costs
+            groups = {k: v for k, v in by_mesh.items()
+                      if len(v) >= 2 and (len(v) - 1)
+                      * nodes[v[0]].mesh.f.shape[0] >= 1024}
             if groups:
                 return self._build_instanced(nodes, groups)
 
@@ -413,6 +435,8 @@ class DynamicScene:
         schema.set_host_meta(sd, dict(
             mat_type=np.asarray([m["mat_type"] for m in mats], np.int32),
             mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
+            mat_parallax=np.asarray([m["params"][24] for m in mats], np.float32),
+            mat_bssrdf=np.asarray([float(m["params"][25:31].sum()) for m in mats], np.float32),
             world_lo=np.asarray(b.world_lo, np.float32),
             world_hi=np.asarray(b.world_hi, np.float32),
             light_type=np.asarray([l["light_type"] for l in self._lights]
@@ -613,6 +637,8 @@ class DynamicScene:
         schema.set_host_meta(sd, dict(
             mat_type=np.asarray([m["mat_type"] for m in mats], np.int32),
             mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
+            mat_parallax=np.asarray([m["params"][24] for m in mats], np.float32),
+            mat_bssrdf=np.asarray([float(m["params"][25:31].sum()) for m in mats], np.float32),
             world_lo=w_lo, world_hi=w_hi,
             light_type=np.asarray([l["light_type"] for l in self._lights]
                                   + [schema.LIGHT_DIFFUSE] * len(area_lights)

@@ -64,7 +64,7 @@ TEX_EXTRADATA = 6
 
 # Microfacet distribution sub-type lives in material params (core.microfacet)
 
-N_MAT_PARAMS = 24
+N_MAT_PARAMS = 32
 N_MAT_TEX = 4      # texture slots: 0=reflectance/specular, 1=second albedo/transmittance, 2=alpha-mask, 3=bump/normal
 N_LIGHT_PARAMS = 24
 N_TEX_PARAMS = 12

@@ -1,5 +1,6 @@
 """Aux subsystems: params, timers, debug visualizers, FastTracer, GameTracer."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import fast, game
 from cudatracerlib_tpu.utils import debug_viz, params, timers
@@ -66,6 +67,7 @@ def test_fast_tracer():
     assert img.max() > 0 and np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_game_tracer():
     scene = example_scenes.cornell_box(32, 32).build()
     tr = game.GameTracer(scene, 32, 32)

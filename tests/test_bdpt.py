@@ -7,6 +7,7 @@ from cudatracerlib_tpu.scene import host, schema
 from cudatracerlib_tpu.utils import example_scenes
 
 
+@pytest.mark.slow
 def test_bdpt_matches_pt():
     scene = example_scenes.cornell_box(32, 32, spheres=False).build()
     img_bd = np.asarray(bdptmod.BDPT(scene, 32, 32, max_depth=4).render(24))
@@ -18,6 +19,7 @@ def test_bdpt_matches_pt():
     assert abs(img_bd.mean() - img_pt.mean()) / img_pt.mean() < 0.1
 
 
+@pytest.mark.slow
 def test_force_strategies_sum():
     """Individually-forced families must sum (approximately) to the full image."""
     scene = example_scenes.cornell_box(24, 24, spheres=False).build()

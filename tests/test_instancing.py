@@ -3,6 +3,7 @@ sharing, and O(1) instance transform updates.
 
 Reference parity: ``Engine/SceneBVH`` + ``Kernel/TraceHelper.cu:88-180``."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.scene import host, schema, sensors, shapes
@@ -63,6 +64,7 @@ def test_instanced_any_hit_shadows():
     assert np.isfinite(img).all() and img.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_moving_instance_refit():
     sc = _scene(3)
     inst = sc.build()

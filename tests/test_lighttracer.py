@@ -1,10 +1,12 @@
 """Light tracer must converge to the same image as the path tracer."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import lighttracer, path as pathmod
 from cudatracerlib_tpu.utils import example_scenes
 
 
+@pytest.mark.slow
 def test_lt_matches_pt_cornell():
     scene = example_scenes.cornell_box(32, 32, spheres=False).build()
     pt = pathmod.PathTracer(scene, 32, 32, max_depth=4, spp_per_pass=1)
@@ -61,6 +63,7 @@ def _sensor_scene(sensor_type, **kw):
     return sc.build()
 
 
+@pytest.mark.slow
 def test_lt_matches_pt_all_sensors():
     """sample_direct for spherical/ortho/telecentric unlocks light tracing
     for every camera (reference Sensor.h:527-626)."""

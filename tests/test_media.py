@@ -1,6 +1,7 @@
 """Participating-media tests: analytic attenuation, furnace energy
 conservation, grid/homogeneous consistency."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.scene import host, schema, sensors, shapes
@@ -65,6 +66,7 @@ class TestAbsorption:
 
 
 class TestScattering:
+    @pytest.mark.slow
     def test_scattering_furnace(self):
         # purely scattering medium inside a furnace: radiance stays 1 everywhere
         sc = example_scenes.furnace(24, 24, albedo=0.0)

@@ -1,6 +1,7 @@
 """Native BVH builder + animation/refit + asset cache + small-math parity."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.core import dispersion, quadrature, spline, rough_transmittance
 from cudatracerlib_tpu.ops import traversal as trv, traversal8 as trv8
@@ -126,6 +127,7 @@ class TestSmallMath:
         assert e_gr > e_lo  # grazing reflects more
 
 
+@pytest.mark.slow
 def test_incremental_transform_update():
     """Move a node, refit, and verify the render tracks the new position."""
     from cudatracerlib_tpu.utils import example_scenes, transforms as tf

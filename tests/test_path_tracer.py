@@ -27,6 +27,7 @@ class TestFurnace:
         corner = img[0:3, 0:3].mean(axis=(0, 1))
         np.testing.assert_allclose(corner, 1.0, atol=0.02)
 
+    @pytest.mark.slow
     def test_rough_conductor_furnace_bounded(self):
         # perfect rough mirror in furnace: center reads <= 1 (energy conservation)
         spec = host.MaterialSpec(bsdf_type=schema.BSDF_ROUGHCONDUCTOR,
@@ -50,6 +51,7 @@ class TestFurnace:
 
 
 class TestNEEConsistency:
+    @pytest.mark.slow
     def test_nee_matches_bsdf_sampling(self):
         # same scene, NEE on vs off must converge to the same image
         sc = example_scenes.cornell_box(32, 32, spheres=False)
@@ -82,6 +84,7 @@ class TestCornell:
 
 
 class TestRegularization:
+    @pytest.mark.slow
     def test_regularized_caustic_less_noisy(self):
         # glass sphere over floor lit by a small area light: pure PT leaves
         # caustics to rare BSDF paths; regularization lets NEE reach them

@@ -2,6 +2,7 @@
 import os
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.models import ppm as ppmmod
@@ -32,6 +33,7 @@ def test_hashgrid_query():
     np.testing.assert_array_equal(np.asarray(cnt).astype(int), brute)
 
 
+@pytest.mark.slow
 def test_ppm_matches_pt():
     scene = example_scenes.cornell_box(32, 32, spheres=False).build()
     pm = ppmmod.PPMTracer(scene, 32, 32, max_depth=4, initial_radius=0.08)
@@ -55,6 +57,7 @@ def test_radius_schedule():
     assert st["photons_emitted"] == 3 * 16 * 16
 
 
+@pytest.mark.slow
 def test_ppm_volumetric_estimator():
     """Medium photons + ray-marched gather approximate PT on a scattering slab
     (primary-segment estimator: agreement within ~20%)."""

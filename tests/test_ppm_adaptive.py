@@ -2,6 +2,7 @@
 PPPMTracer.h:29-146 adaptive struct; PPPMTracer_EyePass.cu:16-40 final
 gather)."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.models import ppm as ppmmod
@@ -13,6 +14,7 @@ def _blk(a, f=4):
     return a.reshape(h // f, f, w // f, f, 3).mean((1, 3))
 
 
+@pytest.mark.slow
 def test_adaptive_matches_pt():
     scene = example_scenes.cornell_box(32, 32, spheres=False).build()
     pm = ppmmod.PPMTracer(scene, 32, 32, max_depth=4, initial_radius=0.08,
@@ -28,6 +30,7 @@ def test_adaptive_matches_pt():
     assert r2.min() > 0
 
 
+@pytest.mark.slow
 def test_adaptive_comparable_on_caustic():
     """Equal photon budget on a caustics scene: the per-pixel SPPM statistics
     must stay within a small factor of the global kernel estimator's RMSE at
@@ -54,6 +57,7 @@ def test_adaptive_comparable_on_caustic():
     assert r2.max() / max(r2.min(), 1e-12) > 1.5
 
 
+@pytest.mark.slow
 def test_final_gather_runs():
     scene = example_scenes.cornell_box(24, 24, spheres=False).build()
     pm = ppmmod.PPMTracer(scene, 24, 24, max_depth=5, initial_radius=0.12,

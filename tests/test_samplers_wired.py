@@ -2,11 +2,13 @@
 sequence sampler + combiner): selectable per tracer, and the low-discrepancy
 sequence must measurably reduce Cornell variance at equal spp."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod, samplers
 from cudatracerlib_tpu.utils import example_scenes
 
 
+@pytest.mark.slow
 def test_sampler_selectable_and_sobol_beats_independent():
     scene = example_scenes.cornell_box(32, 32).build()
     ref = np.asarray(pathmod.PathTracer(scene, 32, 32, max_depth=4,

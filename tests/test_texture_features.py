@@ -1,6 +1,7 @@
 """Alpha masks + bump mapping through the path tracer."""
 import os
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.scene import host, schema, sensors, shapes
@@ -35,6 +36,7 @@ def test_alpha_mask_transmits_fraction():
     np.testing.assert_allclose(got, 2.0 * 0.75, rtol=0.1)
 
 
+@pytest.mark.slow
 def test_alpha_opaque_blocks():
     scene = _scene_with_mask(1.0)
     tr = pathmod.PathTracer(scene, 16, 16, max_depth=4, spp_per_pass=1)
@@ -42,6 +44,7 @@ def test_alpha_opaque_blocks():
     assert img[6:10, 6:10].mean() < 0.05
 
 
+@pytest.mark.slow
 def test_bump_changes_shading():
     def build(with_bump):
         sc = host.DynamicScene()
@@ -197,3 +200,47 @@ def test_ewa_beats_trilinear_at_grazing():
     e_maj = np.mean((tri_major - truth) ** 2)
     assert e_ewa < e_min, (e_ewa, e_min)
     assert e_ewa < e_maj * 1.05, (e_ewa, e_maj)
+
+
+def test_parallax_occlusion_shift():
+    """Parallax-occlusion mapping (reference Material.cu:45-110): a uniform
+    height h shifts the sampled uv by slope * (1 - h) toward the viewer."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cudatracerlib_tpu.models import bsdf as bsdfmod
+    from cudatracerlib_tpu.ops import shading
+    from cudatracerlib_tpu.scene import host, schema, sensors, shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+
+    h_val = 0.25
+    img = np.full((8, 8, 3), h_val, np.float32)
+    sc = host.DynamicScene()
+    sc.add_material(host.MaterialSpec(
+        reflectance=(1, 1, 1),
+        tex_bump=host.TextureSpec(tex_type=schema.TEX_IMAGE, image=img),
+        parallax_scale=0.1))
+    sc.create_node(shapes.rectangle(), 0)
+    sc.set_sensor(sensors.make_sensor(schema.SENSOR_PERSPECTIVE,
+                                      tf.look_at([0, 0, -3], [0, 0, 0]),
+                                      film_w=4, film_h=4))
+    scene = sc.build()
+    assert bsdfmod.scene_has_parallax(scene)
+
+    B = 4
+    wi = jnp.tile(jnp.asarray([[0.6, 0.0, 0.8]]), (B, 1))  # oblique viewer
+    si = shading.SurfaceInteraction(
+        valid=jnp.ones(B, bool), p=jnp.zeros((B, 3)), t=jnp.ones(B),
+        ng=jnp.tile(jnp.asarray([[0., 0., 1.]]), (B, 1)),
+        ns=jnp.tile(jnp.asarray([[0., 0., 1.]]), (B, 1)),
+        uv=jnp.full((B, 2), 0.5),
+        frame_t=jnp.tile(jnp.asarray([[1., 0., 0.]]), (B, 1)),
+        frame_s=jnp.tile(jnp.asarray([[0., 1., 0.]]), (B, 1)),
+        bary=jnp.zeros((B, 2)), mat_id=jnp.zeros(B, jnp.int32),
+        light_id=jnp.full(B, -1, jnp.int32), tri=jnp.zeros(B, jnp.int32),
+        wi=wi, flipped=jnp.zeros(B, bool), uv_density=jnp.ones(B))
+    out = bsdfmod.apply_parallax(scene, si)
+    # slope = (vx/vz) * scale = 0.75 * 0.1; expected shift = slope*(1 - h)
+    expect = 0.075 * (1.0 - h_val)
+    got = float(np.asarray(si.uv[0, 0] - out.uv[0, 0]))
+    np.testing.assert_allclose(got, expect, rtol=0.2)
+    assert abs(float(np.asarray(out.uv[0, 1] - si.uv[0, 1]))) < 1e-4

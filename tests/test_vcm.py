@@ -1,11 +1,13 @@
 """VCM: convergence vs PT (all families: connections + merging)."""
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.models import vcm as vcmmod
 from cudatracerlib_tpu.utils import example_scenes
 
 
+@pytest.mark.slow
 def test_vcm_matches_pt():
     scene = example_scenes.cornell_box(24, 24, spheres=False).build()
     img_v = np.asarray(vcmmod.VCM(scene, 24, 24, max_depth=4,

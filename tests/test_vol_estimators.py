@@ -24,6 +24,7 @@ def slab():
     return scene, pt
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("estimator", ["point", "beamgrid", "beambeam"])
 def test_slab_estimator_vs_pt(slab, estimator):
     scene, img_pt = slab
