@@ -28,9 +28,14 @@ from . import tracer
 Array = jax.Array
 
 
-def psf_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
-             w: int, h: int, radius: float, temporal_alpha: float,
-             active_types) -> filmmod.Film:
+def psf_pass(scene: schema.SceneData, film: filmmod.Film, prev_p, prev_ns,
+             pass_idx, w: int, h: int, radius: float, temporal_alpha: float,
+             active_types):
+    """One realtime-GI frame. radius is the CAP; each pixel's gather radius
+    adapts to its projected footprint (reference
+    PathSpaceFilteringBuffer.h:15-142), and temporal history is invalidated
+    per pixel when the hit point or normal moved (the reference's
+    accumulation-buffer validity test)."""
     B = w * h
     pixel_idx = jnp.arange(B, dtype=jnp.int32)
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
@@ -55,8 +60,12 @@ def psf_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     grid = hashgrid.build_grid(rows, si.p, alive, scene.world_lo, scene.world_hi,
                                jnp.float32(2.0 * radius))
 
-    # gather: footprint-filtered outgoing radiance at each primary hit
-    r_lane = jnp.full(B, radius)
+    # footprint-adaptive gather radius: ~4 projected pixels at the hit,
+    # capped by the global radius (cells cover 2*radius so queries stay
+    # complete)
+    params = scene.sensor.params
+    cone = 2.0 * jnp.tan(0.5 * params[0]) / jnp.maximum(params[5], 1.0)
+    r_lane = jnp.clip(4.0 * cone * hit.t, radius / 16.0, radius)
 
     def accum(carry, prows, mask):
         acc, cnt = carry
@@ -71,13 +80,15 @@ def psf_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     Lout = jnp.where(alive[:, None], filtered + le,
                      lightsmod.eval_environment(scene, rays.d))
 
-    # temporal accumulation: exponential blend with the running image
-    prev = film.rgb
-    has_hist = film.n_passes > 0
-    blended = jnp.where(has_hist, prev * (1 - temporal_alpha)
-                        + Lout.reshape(h, w, 3) * temporal_alpha,
-                        Lout.reshape(h, w, 3))
-    return film._replace(rgb=blended, weight=jnp.ones_like(film.weight))
+    # temporal accumulation with per-pixel invalidation: history only
+    # survives where the primary hit stayed on the same surface point
+    same_pt = vm.length(si.p - prev_p.reshape(B, 3)) < r_lane
+    same_n = vm.dot(si.ns, prev_ns.reshape(B, 3)) > 0.9
+    valid_hist = (film.n_passes > 0) & same_pt & same_n
+    a_eff = jnp.where(valid_hist, temporal_alpha, 1.0).reshape(h, w, 1)
+    blended = film.rgb * (1 - a_eff) + Lout.reshape(h, w, 3) * a_eff
+    return (film._replace(rgb=blended, weight=jnp.ones_like(film.weight)),
+            si.p.reshape(h, w, 3), si.ns.reshape(h, w, 3))
 
 
 class GameTracer(tracer.TracerBase):
@@ -98,6 +109,10 @@ class GameTracer(tracer.TracerBase):
         self._jitted = jax.jit(partial(
             psf_pass, w=width, h=height, radius=float(radius),
             temporal_alpha=temporal_alpha, active_types=tuple(active_types)))
+        self._prev_p = jnp.zeros((height, width, 3))
+        self._prev_ns = jnp.zeros((height, width, 3))
 
     def render_pass(self, scene, film, pass_idx):
-        return self._jitted(scene, film, jnp.int32(pass_idx))
+        film, self._prev_p, self._prev_ns = self._jitted(
+            scene, film, self._prev_p, self._prev_ns, jnp.int32(pass_idx))
+        return film
