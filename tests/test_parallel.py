@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cudatracerlib_tpu.models import film as filmmod
 from cudatracerlib_tpu.models import path as pathmod
@@ -9,6 +10,7 @@ from cudatracerlib_tpu.parallel import render as prender
 from cudatracerlib_tpu.utils import example_scenes
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
     scene = example_scenes.cornell_box(32, 32, spheres=False).build()
@@ -26,6 +28,7 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_tracer_class():
     scene = example_scenes.cornell_box(32, 32, spheres=False).build()
     tr = prender.ShardedPathTracer(scene, 32, 32, mesh=prender.make_mesh(8),
@@ -33,3 +36,17 @@ def test_sharded_tracer_class():
     img = np.asarray(tr.render(2))
     assert np.isfinite(img).all()
     assert img.mean() > 0.05
+
+
+def test_sharded_smoke():
+    """Fast default-suite check that the shard_map path compiles and runs
+    (full equivalence checks are @slow; the driver's dryrun also covers it)."""
+    w = h = 16
+    scene = example_scenes.cornell_box(w, h, spheres=False).build()
+    mesh = prender.make_mesh(8)
+    scene_r = prender.replicate_scene(scene, mesh)
+    film = filmmod.new_film(w, h)
+    film = prender.sharded_pt_pass(scene_r, film, jnp.int32(0), mesh, w, h,
+                                   max_depth=2)
+    hdr = np.asarray(filmmod.develop(film))
+    assert np.isfinite(hdr).all() and hdr.mean() > 0.0
