@@ -12,35 +12,58 @@ import sys
 import time
 
 
+def _coerce(v: str):
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    for t in (int, float):
+        try:
+            return t(v)
+        except ValueError:
+            pass
+    return v
+
+
 def build_tracer(name: str, scene_data, settings, args):
+    """args: list of "name=value" strings forwarded to the tracer's
+    constructor (the reference's TracerArguments string->parameter path,
+    TracerSettings.h:352-383) — e.g. --arg vol_estimator=beambeam
+    --arg adaptive_radii=true --arg sampler_type=2."""
     from .models import (adaptive, bdpt, fast, game, lighttracer, path, ppm,
                          prim, vcm)
     w, h = settings.width, settings.height
     name = name.lower()
+    kw = {}
+    for s in args or []:
+        k, _, v = s.partition("=")
+        kw[k.strip()] = _coerce(v.strip())
     if name in ("direct", "prim"):
-        return prim.PrimTracer(scene_data, w, h, draw_mode=prim.D_ALBEDO)
+        return prim.PrimTracer(scene_data, w, h,
+                               **{"draw_mode": prim.D_ALBEDO, **kw})
     if name in ("pt", "path"):
         return path.PathTracer(scene_data, w, h, max_depth=settings.max_depth,
-                               rr_depth=settings.rr_depth)
+                               rr_depth=settings.rr_depth, **kw)
     if name in ("pt_wave", "wavefront"):
         return path.PathTracer(scene_data, w, h, max_depth=settings.max_depth,
-                               chunk_size=1 << 16)
+                               **{"chunk_size": 1 << 16, **kw})
     if name in ("pt_adaptive", "adaptive"):
         return adaptive.AdaptivePathTracer(scene_data, w, h,
-                                           max_depth=settings.max_depth)
+                                           max_depth=settings.max_depth, **kw)
     if name == "bdpt":
-        return bdpt.BDPT(scene_data, w, h, max_depth=min(settings.max_depth, 8))
+        return bdpt.BDPT(scene_data, w, h,
+                         max_depth=min(settings.max_depth, 8), **kw)
     if name in ("ppm", "pppm"):
-        return ppm.PPMTracer(scene_data, w, h, max_depth=min(settings.max_depth, 8))
+        return ppm.PPMTracer(scene_data, w, h,
+                             max_depth=min(settings.max_depth, 8), **kw)
     if name == "vcm":
-        return vcm.VCM(scene_data, w, h, max_depth=min(settings.max_depth, 8))
+        return vcm.VCM(scene_data, w, h,
+                       max_depth=min(settings.max_depth, 8), **kw)
     if name in ("lt", "lighttracer", "photontracer"):
         return lighttracer.LightTracer(scene_data, w, h,
-                                       max_depth=settings.max_depth)
+                                       max_depth=settings.max_depth, **kw)
     if name == "fast":
-        return fast.FastTracer(scene_data, w, h)
+        return fast.FastTracer(scene_data, w, h, **kw)
     if name == "game":
-        return game.GameTracer(scene_data, w, h)
+        return game.GameTracer(scene_data, w, h, **kw)
     raise SystemExit(f"unknown tracer '{name}'")
 
 
