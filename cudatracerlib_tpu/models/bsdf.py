@@ -19,6 +19,8 @@ Param layout (MaterialTable.params, packed by scene/host.py):
   [6] alpha_u  [7] alpha_v  [8:11] conductor eta  [11:14] conductor k
   [14] nonlinear  [15] phong exponent  [16] hg phase g  [17] thickness
   [18] blend weight  [19:22] transmittance/diffuse  [22] two-sided flag
+  [23] Cauchy dispersion B  [24] parallax scale
+  [25:28] bssrdf sigma_a  [28:31] bssrdf sigma_s  [31] bssrdf g
 """
 from __future__ import annotations
 
@@ -86,7 +88,7 @@ def _bits_i32(a: Array) -> Array:
 
 
 def _mat_fat_rows(mats: schema.MaterialTable) -> Array:
-    """[type | params(24) | tex(4) | nested | nested2] per material (M, 31).
+    """[type | params(N_MAT_PARAMS) | tex(4) | nested | nested2] per material.
 
     Built from the schema tables inside the trace (tiny; hoisted by XLA) so
     one gather fetches a lane's whole material record."""

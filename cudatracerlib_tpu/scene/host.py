@@ -204,6 +204,13 @@ class DynamicScene:
                 **{k: jnp.asarray(v) for k, v in h.items()})
             w_lo = h["lo"].min(0)
             w_hi = h["hi"].max(0)
+            corners4 = np.array([[x, y, z, 1.0] for x in (0, 1) for y in (0, 1)
+                                 for z in (0, 1)], np.float32)
+            for med in self._media:
+                m2w = np.asarray(med["to_world"], np.float32)
+                pts = (corners4 @ m2w.T)[:, :3]
+                w_lo = np.minimum(w_lo, pts.min(0))
+                w_hi = np.maximum(w_hi, pts.max(0))
             out = scene_data._replace(
                 geom=scene_data.geom._replace(inst=inst),
                 world_lo=jnp.asarray(w_lo), world_hi=jnp.asarray(w_hi))
