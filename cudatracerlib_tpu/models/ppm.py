@@ -148,15 +148,12 @@ def diffuse_albedo(ctx: bsdfmod.BsdfCtx) -> Array:
 
 
 def transmittance_det(scene: schema.SceneData, o, d, t_max, n_steps: int = 16):
-    """Deterministic quadrature transmittance along segments (matches the
-    volumetric estimator's marching)."""
-    dt = t_max / n_steps
-    tau = jnp.zeros((o.shape[0], 3))
-    for k in range(n_steps):
-        p_k = o + d * ((k + 0.5) * dt)[:, None]
-        sig_a, sig_s, _, _ = mediummod.sigma_at(scene.media, p_k)
-        tau = tau + dt[:, None] * (sig_a + sig_s)
-    return jnp.exp(-tau)
+    """Deterministic transmittance along segments — analytic chord clipping
+    per volume (exact for homogeneous media; grids sample the density),
+    via medium.tau_segment."""
+    del n_steps
+    B = o.shape[0]
+    return jnp.exp(-mediummod.tau_segment(scene.media, o, d, jnp.zeros(B), t_max))
 
 
 def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
@@ -174,7 +171,9 @@ def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
         t_k = (k + 0.5) * dt
         p_k = o + d * t_k[:, None]
         sig_a, sig_s, ptype, g = mediummod.sigma_at(scene.media, p_k)
-        T = jnp.exp(-(tau + 0.5 * dt[:, None] * (sig_a + sig_s)))
+        # exact optical depth up to the sample (analytic chord clipping)
+        T = jnp.exp(-(tau + mediummod.tau_segment(scene.media, o, d,
+                                                  k * dt, t_k)))
 
         def accum(carry, rows, mask):
             ph_pow, ph_wi = rows[:, 3:6], rows[:, 6:9]
@@ -188,7 +187,8 @@ def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
         inscatter = hashgrid.gather_neighbors(grid, p_k, r_lane, accum,
                                               jnp.zeros((B, 3)), max_per_cell=4)
         L = L + T * inscatter * dt[:, None]
-        tau = tau + dt[:, None] * (sig_a + sig_s)
+        tau = tau + mediummod.tau_segment(scene.media, o, d, k * dt,
+                                          (k + 1) * dt)
     return L
 
 
