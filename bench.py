@@ -184,7 +184,7 @@ def main():
     for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm"):
         try:
             p = subprocess.run([sys.executable, __file__, name],
-                               capture_output=True, text=True, timeout=900)
+                               capture_output=True, text=True, timeout=1800)
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
         except Exception as e:  # one config failing must not hide the rest
@@ -194,7 +194,7 @@ def main():
         print(json.dumps(r), flush=True)
     try:
         p = subprocess.run([sys.executable, __file__, "headline"],
-                           capture_output=True, text=True, timeout=900)
+                           capture_output=True, text=True, timeout=1800)
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         head = json.loads(line)
     except Exception as e:
