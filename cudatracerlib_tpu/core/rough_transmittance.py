@@ -83,3 +83,34 @@ def eval_specular_albedo(dist: int, eta: float, cos_i, alpha):
     g = lambda dx, dy: t[x0 + dx, y0 + dy]
     return (g(0, 0) * (1 - fx) * (1 - fy) + g(1, 0) * fx * (1 - fy)
             + g(0, 1) * (1 - fx) * fy + g(1, 1) * fx * fy)
+
+
+# eta knots for the per-lane-IOR interpolation (the reference's tables carry
+# an eta axis and spline over it, Engine/RoughTransmittance.cu:100-121)
+_ETA_KNOTS = (1.1, 1.3, 1.5, 1.7, 2.0)
+
+
+def eval_specular_albedo_eta(dist: int, eta, cos_i, alpha):
+    """E_spec with per-lane eta: trilinear over (eta, cos_i, alpha).
+
+    eta/cos_i/alpha are (B,) jnp arrays; eta is clamped to the knot range."""
+    import jax.numpy as jnp
+    tabs = jnp.stack([jnp.asarray(get_table(dist, e)) for e in _ETA_KNOTS])
+    knots = jnp.asarray(_ETA_KNOTS, jnp.float32)
+    e = jnp.clip(eta, _ETA_KNOTS[0], _ETA_KNOTS[-1])
+    hi = jnp.clip(jnp.searchsorted(knots, e, side="right"),
+                  1, len(_ETA_KNOTS) - 1).astype(jnp.int32)
+    lo = hi - 1
+    we = (e - knots[lo]) / jnp.maximum(knots[hi] - knots[lo], 1e-6)
+    x = jnp.clip(jnp.abs(cos_i), 0.0, 1.0) * (_N_COS - 1)
+    y = jnp.clip(alpha / _ALPHA_MAX, 0.0, 1.0) * (_N_ALPHA - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, _N_COS - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, _N_ALPHA - 2)
+    fx, fy = x - x0, y - y0
+
+    def bilerp(ei):
+        g = lambda dx, dy: tabs[ei, x0 + dx, y0 + dy]
+        return (g(0, 0) * (1 - fx) * (1 - fy) + g(1, 0) * fx * (1 - fy)
+                + g(0, 1) * (1 - fx) * fy + g(1, 1) * fx * fy)
+
+    return bilerp(lo) * (1.0 - we) + bilerp(hi) * we

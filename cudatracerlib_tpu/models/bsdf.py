@@ -453,11 +453,13 @@ def _rough_spec_albedo(ctx, cos):
     the rough dielectric interface, from the precomputed tables the reference
     loads from data/microfacet/*.dat (Engine/RoughTransmittance.cu:100-132).
     Tables for both distributions are compiled in; the per-lane distribution
-    id selects (eta fixed at the plastic-standard 1.5 table)."""
+    id selects, and the lane's actual IOR interpolates over the eta knot
+    tables (the reference splines over an eta axis)."""
     from ..core import rough_transmittance as rt
     a = jnp.maximum(ctx.params[:, 6], 1e-4)
-    e_bk = rt.eval_specular_albedo(0, 1.5, cos, a)
-    e_ggx = rt.eval_specular_albedo(1, 1.5, cos, a)
+    eta = ctx.params[:, 4]
+    e_bk = rt.eval_specular_albedo_eta(0, eta, cos, a)
+    e_ggx = rt.eval_specular_albedo_eta(1, eta, cos, a)
     return jnp.where(_dist(ctx.params) == 1, e_ggx, e_bk)
 
 
@@ -638,8 +640,12 @@ def _hk_eval(ctx, wi, wo):
     fr = (fr_ss * co / ci)
     ft = (ft_ss * co / ci)
     f = tint * jnp.where(same, fr, ft)[..., None]
-    # pdf: HG phase about the propagation direction (both hemispheres)
-    pdf = _hg_phase(-vm.dot(wi, wo), g)
+    # pdf: the true sampling density of the scatter lobe — the HG phase about
+    # the propagation direction TIMES the probability _hk_sample picks the
+    # scatter branch over the delta pass-through, so MIS weights built from
+    # evaluate() match the sampler's density (advisor finding, round 2)
+    trans = jnp.exp(-tau / ci)
+    pdf = (1.0 - trans) * _hg_phase(-vm.dot(wi, wo), g)
     return Lobe(f=jnp.maximum(f, 0.0), pdf=jnp.maximum(pdf, 0.0))
 
 
@@ -666,9 +672,10 @@ def _hk_sample(ctx, wi, u):
                                    sin_t * jnp.sin(phi), cos_t], -1))
     wo = jnp.where(choose_trans[..., None], wo_t, wo_s)
     lob = _hk_eval(ctx, wi, wo_s)
-    w_r = lob.f / jnp.maximum((lob.pdf * (1.0 - trans))[..., None], 1e-12)
+    # lob.pdf already includes the (1 - trans) scatter-branch probability
+    w_r = lob.f / jnp.maximum(lob.pdf[..., None], 1e-12)
     weight = jnp.where(choose_trans[..., None], jnp.ones_like(ctx.c0), w_r)
-    pdf = jnp.where(choose_trans, trans, (1.0 - trans) * lob.pdf)
+    pdf = jnp.where(choose_trans, trans, lob.pdf)
     same_side = (wi[..., 2] > 0) == (wo[..., 2] > 0)
     stype = jnp.where(choose_trans, records.T_DELTA_TRANSMISSION,
                       jnp.where(same_side, records.T_GLOSSY_REFLECTION,

@@ -83,13 +83,16 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
     def bounce(depth, carry):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-         nrays, ins_med, ins_mat) = carry
+         nrays, niters, nrows, ins_med, ins_mat) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         # live-ray counter (reference g_RayTracedCounter semantics: count only
         # rays actually traced, not launched lanes)
         nrays = nrays + jnp.sum(active.astype(jnp.float32))
-        hit = traversal8.intersect_scene(geom, trace_rays)
+        hit, it1, rw1 = traversal8.intersect_scene(geom, trace_rays,
+                                                   with_iters=True)
+        niters = niters + it1
+        nrows = nrows + rw1
 
         # --- BSSRDF internal random walk (reference Material.h:38-60): lanes
         # inside a subsurface material sample a homogeneous scattering
@@ -220,7 +223,11 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 o=shadow_o, d=ed.d, tmin=jnp.zeros(B),
                 tmax=jnp.where(do_shadow, ed.dist * 0.999, 0.0))
             nrays = nrays + jnp.sum(do_shadow.astype(jnp.float32))
-            occluded = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
+            occ_hit, it2, rw2 = traversal8.intersect_scene(
+                geom, shadow, any_hit=True, with_iters=True)
+            occluded = occ_hit.valid
+            niters = niters + it2
+            nrows = nrows + rw2
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
             contrib = beta * f_nee * ed.radiance_over_pdf * w_nee[:, None]
             if with_media:
@@ -296,13 +303,14 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
                 next_pdf, is_delta, nxt, state, had_smooth2, nrays,
-                ins_med, ins_mat)
+                niters, nrows, ins_med, ins_mat)
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-             jnp.float32(0.0), jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
     if return_rays:
-        return carry[0], carry[6], carry[8]
+        return carry[0], carry[6], carry[8], carry[9], carry[10]
     return carry[0], carry[6]
 
 
@@ -331,6 +339,8 @@ class PathTracer(tracer.TracerBase):
         n_chunks = (width * height + self.chunk_size - 1) // self.chunk_size
         self._n_chunks = n_chunks
         self._rays_dev = jnp.float32(0.0)
+        self._iters_dev = jnp.float32(0.0)   # traversal lockstep iterations
+        self._rows_dev = jnp.float32(0.0)    # 512B fat rows gathered
         self._jitted = jax.jit(partial(
             _pt_chunk, w=width, h=height, chunk=self.chunk_size,
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
@@ -347,9 +357,11 @@ class PathTracer(tracer.TracerBase):
             # client permanently slows dispatch after the first D2H transfer).
             # The tracer seed offsets the pass index so differently-seeded
             # tracers draw decorrelated streams.
-            film, self._rays_dev = self._jitted(
-                scene, film, self._rays_dev,
-                jnp.int32(pass_idx + (self.seed << 16)), jnp.int32(c))
+            film, self._rays_dev, self._iters_dev, self._rows_dev = \
+                self._jitted(
+                    scene, film, self._rays_dev, self._iters_dev,
+                    self._rows_dev,
+                    jnp.int32(pass_idx + (self.seed << 16)), jnp.int32(c))
         return film
 
     @property
@@ -371,7 +383,7 @@ def scene_active_types(scene: schema.SceneData):
 
 
 def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
-              pass_idx, chunk_idx,
+              iters_ctr, rows_ctr, pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
               with_bump: bool = False, with_parallax: bool = False,
@@ -380,22 +392,27 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
     base = (chunk_idx * chunk) % (w * h)
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
     nrays = jnp.float32(0.0)
+    niters = jnp.float32(0.0)
+    nrows = jnp.float32(0.0)
     for s_i in range(spp):
         sample_idx = pass_idx * spp + s_i
         rays, px, py, state, wt = tracer.gen_camera_rays(
             scene, pixel_idx, sample_idx, pass_idx, w, h,
             sampler_type=sampler_type)
-        L, state, nr = pt_radiance(scene, rays, state, max_depth, rr_depth,
-                                   use_nee, active_types, with_alpha=with_alpha,
-                                   with_bump=with_bump,
-                                   with_parallax=with_parallax,
-                                   with_bssrdf=with_bssrdf,
-                                   regularize=regularize,
-                                   with_textures=with_textures,
-                                   return_rays=True, sampler_type=sampler_type,
-                                   pixel_idx=pixel_idx, sample_idx=sample_idx)
+        L, state, nr, ni, nw = pt_radiance(
+            scene, rays, state, max_depth, rr_depth,
+            use_nee, active_types, with_alpha=with_alpha,
+            with_bump=with_bump,
+            with_parallax=with_parallax,
+            with_bssrdf=with_bssrdf,
+            regularize=regularize,
+            with_textures=with_textures,
+            return_rays=True, sampler_type=sampler_type,
+            pixel_idx=pixel_idx, sample_idx=sample_idx)
         nrays = nrays + nr
+        niters = niters + ni
+        nrows = nrows + nw
         # measured on v5e: XLA's scatter-add here is FASTER than a
         # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes)
         film = filmmod.add_samples(film, px, py, L * wt)
-    return film, rays_ctr + nrays
+    return film, rays_ctr + nrays, iters_ctr + niters, rows_ctr + nrows

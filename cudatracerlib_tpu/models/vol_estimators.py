@@ -75,7 +75,11 @@ def radiance_beamgrid(scene: schema.SceneData, grid: hashgrid.HashGrid,
     tau0 = jnp.zeros((B, 3))
     L, tau = dda.dda_walk(grid, o, d, jnp.zeros(B), t1, visit, (L0, tau0),
                           max_cells=max_cells)
-    return L, jnp.exp(-tau)
+    # eye transmittance over the WHOLE segment analytically: exact even when
+    # the walk exhausts max_cells or the grid clips the segment (the walked
+    # tau only weights the in-scatter terms above)
+    Tr = jnp.exp(-mediummod.tau_segment(scene.media, o, d, jnp.zeros(B), t1))
+    return L, Tr
 
 
 def radiance_beambeam(scene: schema.SceneData, beam_grid: hashgrid.HashGrid,
@@ -140,7 +144,9 @@ def radiance_beambeam(scene: schema.SceneData, beam_grid: hashgrid.HashGrid,
     tau0 = jnp.zeros((B, 3))
     L, tau = dda.dda_walk(beam_grid, o, d, jnp.zeros(B), t1, visit, (L0, tau0),
                           max_cells=max_cells)
-    return L, jnp.exp(-tau)
+    # analytic whole-segment transmittance (see radiance_beamgrid)
+    Tr = jnp.exp(-mediummod.tau_segment(scene.media, o, d, jnp.zeros(B), t1))
+    return L, Tr
 
 
 def build_beam_cells(beams: Array, valid: Array, radius, lo: Array, hi: Array,
@@ -162,11 +168,11 @@ def build_beam_cells(beams: Array, valid: Array, radius, lo: Array, hi: Array,
         keep = (h & jnp.uint32(0xFFFF)).astype(jnp.float32) < keep_prob * 65536.0
         valid = valid & keep
         beams = beams.at[:, 7:10].multiply(1.0 / keep_prob)
-    cell_size = 2.0 * radius
     extent = jnp.maximum(hi - lo, 1e-6)
-    dims = jnp.minimum(
-        jnp.ceil(extent / jnp.maximum(cell_size, 1e-6)).astype(jnp.int32) + 1,
-        max_dim)
+    # grow the cell (never clamp dims) so the grid always covers the medium
+    # (see ops/dda.build_ball_grid; advisor finding, round 2)
+    cell_size = jnp.maximum(2.0 * radius, jnp.max(extent) / (max_dim - 1))
+    dims = jnp.ceil(extent / jnp.maximum(cell_size, 1e-6)).astype(jnp.int32) + 1
     inv_cell = 1.0 / jnp.maximum(cell_size, 1e-6)
     bo, bd, b_len = beams[:, 0:3], beams[:, 3:6], beams[:, 6]
     S = samples_per_beam

@@ -89,11 +89,13 @@ def build_ball_grid(data: Array, positions: Array, valid: Array, radius,
     row must be accepted only when the visited cell contains the kernel foot
     point, which dedups rows shared by several cells."""
     N = data.shape[0]
-    cell_size = 2.0 * radius
     extent = jnp.maximum(hi - lo, 1e-6)
-    dims = jnp.minimum(
-        jnp.ceil(extent / jnp.maximum(cell_size, 1e-6)).astype(jnp.int32) + 1,
-        max_dim)
+    # grow the cell (never clamp dims) so the grid always covers the full
+    # medium: a clamped grid would silently clip both in-scatter and tau to a
+    # corner of the volume once the progressive radius shrinks below
+    # extent/max_dim (advisor finding, round 2)
+    cell_size = jnp.maximum(2.0 * radius, jnp.max(extent) / (max_dim - 1))
+    dims = jnp.ceil(extent / jnp.maximum(cell_size, 1e-6)).astype(jnp.int32) + 1
     inv_cell = 1.0 / jnp.maximum(cell_size, 1e-6)
     base = jnp.clip(((positions - radius - lo) * inv_cell).astype(jnp.int32),
                     0, dims - 2)

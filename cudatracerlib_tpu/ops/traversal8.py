@@ -41,10 +41,12 @@ def _bitcast_i32(x: Array) -> Array:
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("any_hit", "stack_depth", "max_iters"))
+@partial(jax.jit, static_argnames=("any_hit", "stack_depth", "max_iters",
+                                   "with_iters"))
 def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
                    stack_depth: int = STACK_DEPTH,
-                   max_iters: int = MAX_ITERS, roots: Array = None) -> Hit:
+                   max_iters: int = MAX_ITERS, roots: Array = None,
+                   with_iters: bool = False):
     B = rays.o.shape[0]
     if roots is None:
         roots = jnp.zeros(B, jnp.int32)
@@ -156,18 +158,26 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
             jnp.full(B, -1, jnp.int32),
             jnp.zeros(B), jnp.zeros(B))
     out = jax.lax.while_loop(cond, body, init)
-    return Hit(t=out[4], tri=out[5], u=out[6], v=out[7])
+    hit = Hit(t=out[4], tri=out[5], u=out[6], v=out[7])
+    if with_iters:
+        # lockstep loop iterations + fat rows gathered (one 512B row per lane
+        # per iteration) — the bench's bandwidth-accounting counters, matching
+        # the reference's g_RayTracedCounter spirit (TraceHelper.cu:309-320)
+        it = out[0].astype(jnp.float32)
+        return hit, it, it * jnp.float32(B)
+    return hit
 
 
 
 
 @partial(jax.jit, static_argnames=("any_hit", "rays_per_lane", "stack_depth",
-                                   "max_iters"))
+                                   "max_iters", "with_iters"))
 def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
                               any_hit: bool = False,
                               stack_depth: int = STACK_DEPTH,
                               max_iters: int = MAX_ITERS,
-                              roots: Array = None) -> Hit:
+                              roots: Array = None,
+                              with_iters: bool = False):
     """Persistent-lane wide traversal: each lane processes K rays in sequence.
 
     The lockstep while_loop's cost is set by the WORST lane; with one ray per
@@ -186,7 +196,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     if K == 1:
         return intersect_wide(table, rays, any_hit=any_hit,
                               stack_depth=stack_depth, max_iters=max_iters,
-                              roots=roots)
+                              roots=roots, with_iters=with_iters)
     inv_all = _safe_inv(rays.d)
     # slot-major views: slot k of lane b is ray k*B + b
     oK = rays.o.reshape(K, B, 3)
@@ -346,10 +356,14 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
              zeros_f, tuple(jnp.zeros(B) for _ in range(K))))
     out = jax.lax.while_loop(cond, body, init)
     out_t, out_tri, out_u, out_v = out[19]
-    return Hit(t=jnp.stack(out_t).reshape(N),
-               tri=jnp.stack(out_tri).reshape(N),
-               u=jnp.stack(out_u).reshape(N),
-               v=jnp.stack(out_v).reshape(N))
+    hit = Hit(t=jnp.stack(out_t).reshape(N),
+              tri=jnp.stack(out_tri).reshape(N),
+              u=jnp.stack(out_u).reshape(N),
+              v=jnp.stack(out_v).reshape(N))
+    if with_iters:
+        it = out[0].astype(jnp.float32)
+        return hit, it, it * jnp.float32(B)
+    return hit
 
 
 def pack_unified(bvh8_nodes, bvh8_leaves):
@@ -367,7 +381,7 @@ DEFAULT_RAYS_PER_LANE = 16
 
 
 def intersect_scene(geom, rays: Rays, any_hit: bool = False,
-                    roots: Array = None) -> Hit:
+                    roots: Array = None, with_iters: bool = False):
     """Production intersector over a GeometryTable (wide fat-row path).
 
     Dispatch (static, at trace time):
@@ -383,15 +397,21 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
     from . import traversal_pl
     if geom.inst is not None:
         from . import instanced
-        return instanced.intersect_instanced(geom, rays, any_hit=any_hit)
+        hit = instanced.intersect_instanced(geom, rays, any_hit=any_hit)
+        if with_iters:  # instanced path not yet instrumented: report zeros
+            return hit, jnp.float32(0.0), jnp.float32(0.0)
+        return hit
     n_rows = geom.wide.shape[0]
     on_tpu = _jax.default_backend() not in ("cpu",)
     if on_tpu and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES:
         table_t = traversal_pl.prep_table_jnp(geom.wide)
         return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
-                                             roots=roots)
+                                             roots=roots,
+                                             with_iters=with_iters)
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
-                                         any_hit=any_hit, roots=roots)
-    return intersect_wide(geom.wide, rays, any_hit=any_hit, roots=roots)
+                                         any_hit=any_hit, roots=roots,
+                                         with_iters=with_iters)
+    return intersect_wide(geom.wide, rays, any_hit=any_hit, roots=roots,
+                          with_iters=with_iters)

@@ -227,7 +227,7 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         return it + 1, tuple(tile_step(g, tiles[g]) for g in range(G))
 
     init = (jnp.int32(0), tuple(tile_init(g) for g in range(G)))
-    _, tiles = jax.lax.while_loop(cond, body, init)
+    it, tiles = jax.lax.while_loop(cond, body, init)
     for g in range(G):
         out_t, out_tri, out_u, out_v = tiles[g][9]
         sl = slice(g * LANES, (g + 1) * LANES)
@@ -235,6 +235,10 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         out_ref[1, :, sl] = _f32(out_tri)
         out_ref[2, :, sl] = out_u
         out_ref[3, :, sl] = out_v
+        # row 4: lockstep iterations this program ran (bench counters),
+        # broadcast over the block (SMEM scalar outputs aren't lowerable)
+        out_ref[4, :, sl] = jnp.broadcast_to(
+            it.astype(jnp.float32), (K, LANES))
 
 
 def prep_table(table: np.ndarray) -> np.ndarray:
@@ -253,10 +257,12 @@ def prep_table_jnp(table: Array) -> Array:
     return jnp.pad(table.T, ((0, 0), (0, s * LANES - r)))
 
 
-@partial(jax.jit, static_argnames=("any_hit", "K", "G", "max_iters"))
+@partial(jax.jit, static_argnames=("any_hit", "K", "G", "max_iters",
+                                   "with_iters"))
 def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
                      K: int = DEFAULT_K, G: int = DEFAULT_G,
-                     max_iters: int = 4096, roots: Array = None) -> Hit:
+                     max_iters: int = 4096, roots: Array = None,
+                     with_iters: bool = False):
     """Traverse with the Pallas kernel. table_t must be prep_table() output.
 
     Rays are padded to a multiple of K*G*128; grid programs each own G tiles.
@@ -294,14 +300,14 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
     out = pl.pallas_call(
         kern,
         grid=(n_progs,),
-        out_shape=jax.ShapeDtypeStruct((4, K, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, K, B), jnp.float32),
         in_specs=[
             pl.BlockSpec((128, n_rows), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((12, K, G * LANES), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, K, G * LANES), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((5, K, G * LANES), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(table_t, attrs)
@@ -309,4 +315,13 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
     tri = _i32(out[1]).reshape(Np)[:N]
     u = out[2].reshape(Np)[:N]
     v = out[3].reshape(Np)[:N]
-    return Hit(t=t, tri=tri, u=u, v=v)
+    hit = Hit(t=t, tri=tri, u=u, v=v)
+    if with_iters:
+        # row 4 holds each program's lockstep iteration count broadcast over
+        # its block; sample lane 0 of slot 0 per program and sum.  Each
+        # iteration fetches one (512B) row per lane for the G*128 lanes a
+        # program owns; rows come from the VMEM-resident table.
+        its = out[4, 0].reshape(n_progs, G * LANES)[:, 0]
+        it_sum = jnp.sum(its)
+        return hit, it_sum, it_sum * jnp.float32(G * LANES)
+    return hit
