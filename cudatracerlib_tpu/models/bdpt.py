@@ -128,8 +128,9 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                            tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
 
     def light_step(carry, li):
-        rays, state, beta_l, dvc, dvcm, active = carry
+        rays, state, beta_l, dvc, dvcm, active, nrays = carry
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
+        nrays = nrays + jnp.sum(active.astype(jnp.float32))
         hit = traversal8.intersect_scene(geom, trace_rays)
         si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
         alive = active & hit.valid
@@ -161,15 +162,17 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         wo_world = frame.to_world(s.wo)
         rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
                               d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
-        return (rays, state, beta_l, dvc, dvcm, active), lv
+        return (rays, state, beta_l, dvc, dvcm, active, nrays), lv
 
-    carry0 = (rays0, state, beta_l, dvc0, dvcm0, jnp.ones(B, bool))
-    (_, state, *_), lvs = jax.lax.scan(
+    carry0 = (rays0, state, beta_l, dvc0, dvcm0, jnp.ones(B, bool),
+              jnp.float32(0.0))
+    (_, state, _, _, _, _, nrays), lvs = jax.lax.scan(
         light_step, carry0, jnp.arange(NUM_LIGHT_V, dtype=jnp.int32))
     # lvs: LightVertex pytree with leading axis NUM_LIGHT_V
 
     # ---------- t=1: splat every light vertex to the camera (scan) ----------
-    def splat_step(film, inp):
+    def splat_step(carry, inp):
+        film, nrays = carry
         lv, s_fam = inp
         sd = sensors.sample_direct(scene.sensor, lv.p, None)
         fr_lv = shading.fr.Frame(lv.ft, lv.fs, lv.ns)
@@ -186,14 +189,15 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
             o=shading.offset_ray_origin(lv.p, lv.ng, sd.d), d=sd.d,
             tmin=jnp.zeros(B),
             tmax=jnp.where(lv.valid & sd.valid, sd.dist * 0.999, 0.0))
+        nrays = nrays + jnp.sum((shadow.tmax > 0).astype(jnp.float32))
         occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
         ok = lv.valid & sd.valid & ~occ & use_mask(s_fam, 1)
         px = jnp.clip(sd.p_film[:, 0].astype(jnp.int32), 0, w - 1)
         py = jnp.clip(sd.p_film[:, 1].astype(jnp.int32), 0, h - 1)
-        return filmmod.splat(film, px, py, contrib, mask=ok), None
+        return (filmmod.splat(film, px, py, contrib, mask=ok), nrays), None
 
     s_fams = jnp.arange(2, NUM_LIGHT_V + 2, dtype=jnp.int32)
-    film, _ = jax.lax.scan(splat_step, film, (lvs, s_fams))
+    (film, nrays), _ = jax.lax.scan(splat_step, (film, nrays), (lvs, s_fams))
 
     # ======================= camera subpath (scan) =======================
     cam_rays, px, py, state, wt = tracer.gen_camera_rays(
@@ -207,9 +211,10 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     dvcm_c0 = _mis(n_paths / jnp.maximum(camera_pdf_w, 1e-12))
 
     def camera_step(carry, t_idx):
-        rays, state, beta_c, dvc_c, dvcm_c, active_c, L = carry
+        rays, state, beta_c, dvc_c, dvcm_c, active_c, L, nrays = carry
         t_fam = t_idx + 2  # camera sub-path length incl. camera vertex
         trace_rays = rays._replace(tmax=jnp.where(active_c, rays.tmax, 0.0))
+        nrays = nrays + jnp.sum(active_c.astype(jnp.float32))
         hit = traversal8.intersect_scene(geom, trace_rays)
         si = shading.fill_dg(geom, trace_rays, hit, flip_to_ray=False)
         alive = active_c & hit.valid
@@ -254,13 +259,15 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
             tmin=jnp.zeros(B),
             tmax=jnp.where(alive & (pdf_f + vm.length_sqr(f) > 0),
                            ed.dist * 0.999, 0.0))
+        nrays = nrays + jnp.sum((shadow.tmax > 0).astype(jnp.float32))
         occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
         contrib = beta_c * f * ed.radiance_over_pdf * mis_w[:, None]
         nee_mask = alive & ~occ & use_mask(1, t_fam)
         L = L + jnp.where(nee_mask[:, None], contrib, 0.0)
 
         # ---------- s>=2: connect to stored light vertices (inner scan) ----
-        def connect_step(Lc, inp):
+        def connect_step(carry_c, inp):
+            Lc, nr = carry_c
             lv, s_fam = inp
             dvec = lv.p - si.p
             d2 = jnp.maximum(vm.length_sqr(dvec), 1e-12)
@@ -290,11 +297,12 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
             shadow = traversal.Rays(
                 o=shading.offset_ray_origin(si.p, si.ng, dirn), d=dirn,
                 tmin=jnp.zeros(B), tmax=jnp.where(ok, dist * 0.998, 0.0))
+            nr = nr + jnp.sum(ok.astype(jnp.float32))
             occ = traversal8.intersect_scene(geom, shadow, any_hit=True).valid
             conn_mask = ok & ~occ & use_mask(s_fam, t_fam)
-            return Lc + jnp.where(conn_mask[:, None], contrib, 0.0), None
+            return (Lc + jnp.where(conn_mask[:, None], contrib, 0.0), nr), None
 
-        L, _ = jax.lax.scan(connect_step, L, (lvs, s_fams))
+        (L, nrays), _ = jax.lax.scan(connect_step, (L, nrays), (lvs, s_fams))
 
         # ---------- extend the camera path ----------
         s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
@@ -311,15 +319,15 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         wo_world = frame.to_world(s.wo)
         rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
                               d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
-        return (rays, state, beta_c, dvc_c, dvcm_c, active_c, L), None
+        return (rays, state, beta_c, dvc_c, dvcm_c, active_c, L, nrays), None
 
     carry0 = (cam_rays, state, jnp.ones((B, 3)), jnp.zeros(B), dvcm_c0,
-              jnp.ones(B, bool), jnp.zeros((B, 3)))
-    (_, _, _, _, _, _, L), _ = jax.lax.scan(
+              jnp.ones(B, bool), jnp.zeros((B, 3)), nrays)
+    (_, _, _, _, _, _, L, nrays), _ = jax.lax.scan(
         camera_step, carry0, jnp.arange(max_depth, dtype=jnp.int32))
 
     film = filmmod.add_samples(film, px, py, L * wt)
-    return film
+    return film, nrays
 
 
 class BDPT(tracer.TracerBase):
@@ -334,9 +342,13 @@ class BDPT(tracer.TracerBase):
         if active_types is None:
             active_types = pathmod.scene_active_types(scene)
         self.active_types = tuple(active_types)
+        self._rays_dev = jnp.float32(0.0)   # live rays (reference counter
+        #                                     semantics), accumulated on device
         self._jitted = jax.jit(partial(
             bdpt_pass, w=width, h=height, max_depth=max_depth,
             active_types=self.active_types, force_s=force_s, force_t=force_t))
 
     def render_pass(self, scene, film, pass_idx):
-        return self._jitted(scene, film, jnp.int32(pass_idx))
+        film, nrays = self._jitted(scene, film, jnp.int32(pass_idx))
+        self._rays_dev = self._rays_dev + nrays
+        return film

@@ -101,7 +101,8 @@ def _mat_fat_rows(mats: schema.MaterialTable) -> Array:
 def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
                uv_footprint: Array | None = None,
                active_types=None, with_textures: bool = True,
-               ewa: tuple | None = None) -> BsdfCtx:
+               ewa: tuple | None = None,
+               extra: Array | None = None) -> BsdfCtx:
     """Gather material rows + evaluate textures for a lane batch.
 
     active_types (static) skips the nested-BSDF gathers when no
@@ -121,9 +122,9 @@ def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
             e_dir = ewa[0] if ewa is not None else None
             e_maj = ewa[1] if ewa is not None else None
             c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3],
-                                     uv_footprint, e_dir, e_maj)
+                                     uv_footprint, e_dir, e_maj, extra=extra)
             c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22],
-                                     uv_footprint, e_dir, e_maj)
+                                     uv_footprint, e_dir, e_maj, extra=extra)
         else:
             c0, c1 = p[:, 0:3], p[:, 19:22]
         return r, t, p, c0, c1
@@ -723,7 +724,10 @@ def _coating_eval(ctx, wi, wo, nested_eval):
                 / jnp.maximum(wo_in[..., 2], 1e-6))
     f = lob_n.f * absorb * ((1.0 - Fi) * (1.0 - Fo) * co_ratio / (eta * eta))[..., None]
     p_spec = jnp.clip(Fi, 0.05, 0.95)
-    pdf_n = lob_n.pdf * (wo_in[..., 2] / jnp.maximum(wo[..., 2], 1e-6)) / (eta * eta)
+    # density of wo under nested sampling of wo_in followed by refraction out:
+    # dw_in/dw_out = cos_out / (eta^2 cos_in)  (sin_out = eta sin_in)
+    pdf_n = lob_n.pdf * (jnp.maximum(wo[..., 2], 1e-6)
+                         / jnp.maximum(wo_in[..., 2], 1e-6)) / (eta * eta)
     pdf = (1.0 - p_spec) * pdf_n
     up = (wi[..., 2] > 0) & (wo[..., 2] > 0)
     return Lobe(f=jnp.where(up[..., None], f, 0.0), pdf=jnp.where(up, pdf, 0.0))
@@ -754,6 +758,78 @@ def _coating_sample(ctx, wi, u, nested_sample, nested_eval):
     stype = jnp.where(choose_spec, records.T_DELTA_REFLECTION, records.T_GLOSSY_REFLECTION)
     return SampleOut(wo=wo, weight=weight, pdf=jnp.maximum(pdf, 1e-12),
                      sampled_type=stype.astype(jnp.int32), eta=jnp.ones_like(Fi))
+
+
+def _roughcoating_eval(ctx, wi, wo, nested_eval):
+    """Rough coating (reference ``SceneTypes/BSDF_Complex.h:69`` /
+    Mitsuba roughcoating): MICROFACET dielectric reflection at the coat
+    (instead of the smooth coating's delta lobe) + the nested BSDF seen
+    through the rough interface, with the energy split taken from the rough
+    transmittance tables E_spec(cos, alpha, eta)."""
+    from ..core import microfacet as mf
+    eta = ctx.params[:, 4]
+    a = jnp.maximum(ctx.params[:, 6], 1e-4)
+    dist = _dist(ctx.params)
+    up = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    ci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)
+    h = vm.normalize(wi + wo)
+    D = mf.eval_d(dist, a, a, h)
+    G = mf.smith_g(dist, a, a, wi, wo, h)
+    F = fresnel.fresnel_dielectric(vm.dot(wi, h), eta)
+    f_spec = ctx.c0 * (F * D * G / (4.0 * ci))[..., None]
+
+    Fi, wi_in = _coating_refract_into(wi, eta)
+    Fo, wo_in = _coating_refract_into(wo, eta)
+    lob_n = nested_eval(ctx.nested_ctx(), wi_in, wo_in)
+    absorb = _coating_absorption(ctx, wi_in[..., 2], wo_in[..., 2])
+    # directional rough transmittance replaces the smooth (1-F) factors
+    Ti = 1.0 - _rough_spec_albedo(ctx, wi[..., 2])
+    To = 1.0 - _rough_spec_albedo(ctx, wo[..., 2])
+    co_ratio = (jnp.maximum(wo[..., 2], 1e-6)
+                / jnp.maximum(wo_in[..., 2], 1e-6))
+    f_nested = lob_n.f * absorb * (Ti * To * co_ratio / (eta * eta))[..., None]
+
+    p_spec = jnp.clip(_rough_spec_albedo(ctx, wi[..., 2]), 0.05, 0.95)
+    pdf_spec = mf.pdf(dist, a, a, wi, h) / jnp.maximum(
+        4.0 * jnp.abs(vm.dot(wo, h)), 1e-8)
+    # refraction measure: dw_in/dw_out = cos_out / (eta^2 cos_in)
+    pdf_n = lob_n.pdf * (jnp.maximum(wo[..., 2], 1e-6)
+                         / jnp.maximum(wo_in[..., 2], 1e-6)) / (eta * eta)
+    pdf = p_spec * pdf_spec + (1.0 - p_spec) * pdf_n
+    return Lobe(f=jnp.where(up[..., None], f_spec + f_nested, 0.0),
+                pdf=jnp.where(up, pdf, 0.0))
+
+
+def _roughcoating_sample(ctx, wi, u, nested_sample, nested_eval):
+    from ..core import microfacet as mf
+    eta = ctx.params[:, 4]
+    a = jnp.maximum(ctx.params[:, 6], 1e-4)
+    dist = _dist(ctx.params)
+    p_spec = jnp.clip(_rough_spec_albedo(ctx, wi[..., 2]), 0.05, 0.95)
+    choose_spec = u[..., 0] < p_spec
+    m, _ = mf.sample(dist, a, a, wi, u[..., 1:3])
+    wo_spec = vm.reflect(wi, m)
+    # nested branch: sample inside the layer, refract out
+    _, wi_in = _coating_refract_into(wi, eta)
+    u_n = jnp.stack([(u[..., 0] - p_spec) / jnp.maximum(1 - p_spec, 1e-9),
+                     u[..., 1], u[..., 2]], axis=-1)
+    s_n = nested_sample(ctx.nested_ctx(), wi_in, u_n)
+    F_out, cos_t = fresnel.fresnel_dielectric_ext(s_n.wo[..., 2], 1.0 / eta)
+    n = jnp.zeros_like(wi).at[..., 2].set(1.0)
+    wo_out = -vm.refract(s_n.wo, n, 1.0 / eta, cos_t)
+    tir = F_out >= 1.0
+    wo = jnp.where(choose_spec[..., None], wo_spec, wo_out)
+    # both lobes are smooth: weight = f/pdf from the combined eval
+    lob = _roughcoating_eval(ctx, wi, wo, nested_eval)
+    w = lob.f / jnp.maximum(lob.pdf, 1e-12)[..., None]
+    valid = (lob.pdf > 1e-12) & (wo[..., 2] > 0) & (wi[..., 2] > 0) \
+        & ~(tir & ~choose_spec)
+    return SampleOut(wo=wo, weight=jnp.where(valid[..., None], w, 0.0),
+                     pdf=jnp.maximum(lob.pdf, 1e-12),
+                     sampled_type=jnp.full(wi.shape[:-1],
+                                           records.T_GLOSSY_REFLECTION,
+                                           jnp.int32),
+                     eta=jnp.ones(wi.shape[:-1]))
 
 
 # ---------------------------------------------------------------------------
@@ -818,8 +894,10 @@ def evaluate(ctx: BsdfCtx, wi: Array, wo: Array,
     f = jnp.zeros((B, 3))
     pdf = jnp.zeros(B)
     for t in active_types:
-        if t in (schema.BSDF_COATING, schema.BSDF_ROUGHCOATING):
+        if t == schema.BSDF_COATING:
             lob = _coating_eval(ctx, wi, wo, _eval_simple_nested)
+        elif t == schema.BSDF_ROUGHCOATING:
+            lob = _roughcoating_eval(ctx, wi, wo, _eval_simple_nested)
         elif t == schema.BSDF_BLEND:
             w = jnp.clip(ctx.params[:, 18], 0.0, 1.0)
             l1 = _eval_simple_nested(ctx.nested_ctx(), wi, wo)
@@ -879,8 +957,11 @@ def sample(ctx: BsdfCtx, wi: Array, u: Array,
                     pdf=jnp.zeros(B), sampled_type=jnp.zeros(B, jnp.int32),
                     eta=jnp.ones(B))
     for t in active_types:
-        if t in (schema.BSDF_COATING, schema.BSDF_ROUGHCOATING):
+        if t == schema.BSDF_COATING:
             s = _coating_sample(ctx, wi, u, _sample_simple_nested, _eval_simple_nested)
+        elif t == schema.BSDF_ROUGHCOATING:
+            s = _roughcoating_sample(ctx, wi, u, _sample_simple_nested,
+                                     _eval_simple_nested)
         elif t == schema.BSDF_BLEND:
             w = jnp.clip(ctx.params[:, 18], 0.0, 1.0)
             pick2 = u[..., 0] < w

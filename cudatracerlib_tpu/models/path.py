@@ -65,21 +65,12 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     prev_delta = jnp.ones(B, bool)  # camera rays count as "delta" (weight 1)
     had_smooth = jnp.zeros(B, bool)  # a non-delta bounce happened (regularization)
     cur = rays
-    # low-discrepancy first-bounce dims (reference sequence sampler): the NEE
-    # light selection/position and the BSDF sample of depth 0 come from the
-    # selected sequence; deeper bounces keep the PCG stream
-    if sampler_type != 0 and pixel_idx is not None:
-        from . import samplers
-        u_nee0 = jnp.stack(
-            [samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 4),
-             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 5),
-             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 6)], -1)
-        u_bsdf0 = jnp.stack(
-            [samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 7),
-             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 8),
-             samplers.sample_1d(sampler_type, pixel_idx, sample_idx, 9)], -1)
-    else:
-        u_nee0 = u_bsdf0 = None
+    # low-discrepancy sequences for EVERY path dimension (reference
+    # Sampler_device.h regenerates sequences for all requested dims): depth d
+    # draws its NEE dims from 4+6d..6+6d and its BSDF dims from 7+6d..9+6d.
+    # The dimension index is traced (computed from the loop counter), which
+    # samplers.sample_1d_dyn supports.
+    use_seq = sampler_type != 0 and pixel_idx is not None
 
     def bounce(depth, carry):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
@@ -184,7 +175,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv, footprint,
                                  active_types=active_types,
                                  with_textures=with_textures,
-                                 ewa=(ewa_dir, major))
+                                 ewa=(ewa_dir, major), extra=si.extra)
         if regularize:
             ctx = bsdfmod.regularize_ctx(ctx, had_smooth, regularize_alpha)
         frame = si.frame()
@@ -199,10 +190,15 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 nee_p = jnp.where(med_event[:, None], ms.p, si.p)
             else:
                 nee_p = si.p
-            if u_nee0 is not None:
+            if use_seq:
+                from . import samplers
+                u_nee = jnp.stack(
+                    [samplers.sample_1d_dyn(sampler_type, pixel_idx,
+                                            sample_idx, 4 + 6 * depth + j)
+                     for j in range(3)], -1)
                 ed, state = lightsmod.sample_emitter_direct(
-                    scene, nee_p, state, u_override=u_nee0,
-                    override_mask=(depth == 0) & nee_active)
+                    scene, nee_p, state, u_override=u_nee,
+                    override_mask=nee_active)
             else:
                 ed, state = lightsmod.sample_emitter_direct(scene, nee_p, state)
             wo_local_nee = frame.to_local(ed.d)
@@ -238,10 +234,15 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             L = L + jnp.where((nee_active & ~occluded)[:, None], contrib, 0.0)
 
         # --- continue the path: BSDF sample (surface) / phase sample (medium) ---
-        if u_bsdf0 is not None:
+        if use_seq:
+            from . import samplers
+            u_bsdf = jnp.stack(
+                [samplers.sample_1d_dyn(sampler_type, pixel_idx,
+                                        sample_idx, 7 + 6 * depth + j)
+                 for j in range(3)], -1)
             s, state = bsdfmod.sample_with_rng(
-                ctx, wi_local, state, active_types, u_override=u_bsdf0,
-                override_mask=(depth == 0) & hit_l)
+                ctx, wi_local, state, active_types, u_override=u_bsdf,
+                override_mask=hit_l)
         else:
             s, state = bsdfmod.sample_with_rng(ctx, wi_local, state, active_types)
         wo_world = frame.to_world(s.wo)

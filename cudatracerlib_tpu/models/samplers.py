@@ -103,3 +103,39 @@ def sample_2d(sampler_type: int, pixel_id: Array, sample_idx, dim: int) -> Array
     a = sample_1d(sampler_type, pixel_id, sample_idx, dim)
     b = sample_1d(sampler_type, pixel_id, sample_idx, dim + 1)
     return jnp.stack([a, b], axis=-1)
+
+
+def sample_1d_dyn(sampler_type: int, pixel_id: Array, sample_idx, dim) -> Array:
+    """Counter-based sample for a TRACED dimension index (e.g. 4 + 6*depth
+    inside the bounce loop) — full-depth sequence coverage, matching the
+    reference's per-dimension regenerated sequences + mod-1 combiner
+    (`Kernel/Sampler_device.h:62-100`, `TraceHelper.cu:224-267`).
+
+    Sobol dims beyond the direction table reuse rows mod 8 but with a
+    per-(pixel, full-dim) Owen-style scramble, which decorrelates the reused
+    rows (standard padded-dimension practice)."""
+    sample_idx = jnp.asarray(sample_idx)
+    dim = jnp.asarray(dim, jnp.uint32)
+    if sampler_type == STRATIFIED:
+        n_strata = 16
+        perm = rngmod.hash_combine(pixel_id, dim)
+        sidx = jnp.broadcast_to(sample_idx, pixel_id.shape).astype(jnp.uint32)
+        stratum = (sidx + perm) % jnp.uint32(n_strata)
+        st_j = rngmod.hash_combine(pixel_id, sidx, dim * 2 + 1)
+        jitter = (st_j >> 8).astype(jnp.float32) / (1 << 24)
+        rot = (perm >> 8).astype(jnp.float32) / (1 << 24)
+        return ((stratum.astype(jnp.float32) + jitter) / n_strata + rot) % 1.0
+    if sampler_type == SOBOL:
+        dirs = jnp.asarray(_sobol_directions(8))          # (8, 32)
+        row = jnp.take(dirs, (dim % 8).astype(jnp.int32), axis=0)  # (B?, 32)
+        row = jnp.broadcast_to(row, pixel_id.shape + (32,))
+        scramble = rngmod.hash_combine(pixel_id, dim)
+        idx = jnp.broadcast_to(sample_idx, pixel_id.shape).astype(jnp.uint32)
+        result = jnp.zeros_like(idx)
+        for bit in range(32):
+            result = result ^ jnp.where((idx >> bit) & 1 != 0, row[..., bit], 0)
+        result = result ^ scramble
+        return (result >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    st = rngmod.seed(pixel_id, sample_idx, dim)
+    _, u = rngmod.next_float(st)
+    return u

@@ -35,6 +35,8 @@ class SurfaceInteraction(NamedTuple):
     wi: Array       # (B, 3) unit direction toward the ray origin (world)
     flipped: Array  # (B,) bool: true if normals were flipped to face the ray
     uv_density: Array  # (B,) sqrt(uv area / world area) for ray-cone mip LOD
+    extra: Array    # (B,) barycentric-interpolated per-vertex extra data
+    #                 (reference DifferentialGeometry extraData / Texture.h:234)
 
     def frame(self) -> fr.Frame:
         return fr.Frame(self.frame_t, self.frame_s, self.ns)
@@ -104,12 +106,13 @@ def fill_dg(geom: schema.GeometryTable, rays: traversal.Rays,
     t_final = vm.normalize(jnp.where(tiny[:, None], t_fallback, t_proj))
     s_final = vm.cross(ns, t_final)
 
+    extra = (w * row[:, 26] + u * row[:, 27] + v * row[:, 28])
     return SurfaceInteraction(
         valid=hit.tri >= 0, p=p, t=hit.t, ng=ng, ns=ns, uv=uv,
         frame_t=t_final, frame_s=s_final,
         bary=jnp.stack([u, v], -1),
         mat_id=mat_id, light_id=light_id, tri=hit.tri,
-        wi=-rays.d, flipped=flip, uv_density=uv_density)
+        wi=-rays.d, flipped=flip, uv_density=uv_density, extra=extra)
 
 
 def offset_ray_origin(p: Array, n: Array, d: Array, eps: float = 1e-4) -> Array:

@@ -17,7 +17,8 @@ Array = jax.Array
 def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
                  default: Array, uv_footprint: Array | None = None,
                  ewa_dir: Array | None = None,
-                 ewa_major: Array | None = None) -> Array:
+                 ewa_major: Array | None = None,
+                 extra: Array | None = None) -> Array:
     """Evaluate texture rows for a lane batch.
 
     tex_id: (B,) i32 (-1 = use `default`); uv: (B, 2); default: (B, 3).
@@ -104,6 +105,12 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
     out = jnp.where((ttype == schema.TEX_IMAGE)[:, None], c_image, out)
     out = jnp.where((ttype == schema.TEX_UV)[:, None], c_uv, out)
     out = jnp.where((ttype == schema.TEX_WIREFRAME)[:, None], c_wire, out)
+    if extra is not None:
+        # per-vertex extra data interpolated by fill_dg, tinted by color0
+        # (reference ExtraDataTexture, SceneTypes/Texture.h:234: dg.extraData
+        # scaled into a spectrum)
+        c_extra = extra[:, None] * p[:, 0:3]
+        out = jnp.where((ttype == schema.TEX_EXTRADATA)[:, None], c_extra, out)
     return jnp.where((tex_id >= 0)[:, None], out, default)
 
 

@@ -408,6 +408,12 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
         return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
                                              roots=roots,
                                              with_iters=with_iters)
+    if on_tpu and geom.tt_top is not None and roots is None:
+        from . import traversal_tt
+        return traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
+                                              geom.tt_vid, rays,
+                                              any_hit=any_hit,
+                                              with_iters=with_iters)
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,

@@ -1,0 +1,563 @@
+"""HBM-scale Pallas traversal: top-tree phase + sorted treelet-wavefront phase.
+
+Scenes whose fat-row table exceeds VMEM (~24k tris) cannot use the on-chip
+kernel (ops/traversal_pl.py); the XLA gather loop that replaces it is
+dispatch-overhead-bound (~23 GB/s effective on the san-miguel stand-in, 2.8%
+of v5e HBM peak). This module is the TPU-native redesign of the reference's
+streaming megakernel (`Kernel/TraceHelper.cu:326-734`, Aila-Laine persistent
+threads over L2):
+
+  phase 1  `_top_kernel`: traverse the VMEM-resident TOP table
+           (scene/treelet.py). Virtual leaves (row >= n_top) record a
+           (ray, treelet) visit instead of testing triangles; real top-level
+           leaves produce hits that also serve as t_best pruning for phase 2.
+  sort     visits by treelet id (XLA argsort) and scatter them into fixed
+           BLOCK-sized per-treelet visit blocks.
+  phase 2  `_treelet_kernel`: grid over visit blocks; each block's treelet
+           slab is selected by a scalar-prefetched id, so the Pallas pipeline
+           DMAs it HBM->VMEM double-buffered — and skips the copy entirely
+           when consecutive blocks share a slab (the sort makes runs).
+  reduce   scatter-min the per-visit hits back onto rays.
+
+Trade-off vs a single traversal: no t_best sharing ACROSS treelets of one
+ray (each visit prunes only with the phase-1 top-leaf t), costing some
+duplicate leaf work in exchange for perfectly coherent HBM traffic.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traversal import Hit, Rays, _safe_inv
+
+Array = jax.Array
+
+DONE = -1
+POP = -0x40000000
+LANES = 128
+STACK_D = 16
+DEFAULT_K = 8
+DEFAULT_G = 4
+DEFAULT_V = 4           # treelet-visit budget per ray (overflow is counted)
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _step_core(rt, regs, cur, t_best, any_hit, virtual=None):
+    """One state-machine step on a gathered (128, B) row block: node slab
+    test + 12-wide Moller-Trumbore. Returns the step decision pieces.
+    Shared by both kernels here (traversal_pl duplicates this inline).
+    regs = (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn)."""
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn = regs
+    inf = jnp.float32(jnp.inf)
+    bit8 = jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    j12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANES), 0)
+    is_node = cur >= 0
+    is_leaf = cur <= -2
+    if virtual is not None:
+        is_leaf = is_leaf & ~virtual
+
+    t0x = (rt[0:8] - ox) * ix
+    t1x = (rt[24:32] - ox) * ix
+    t0y = (rt[8:16] - oy) * iy
+    t1y = (rt[32:40] - oy) * iy
+    t0z = (rt[16:24] - oz) * iz
+    t1z = (rt[40:48] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                     jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                     jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+    links = _i32(rt[48:56])
+    eligible = (tn <= tf) & (links != DONE) & (((cur & 0xFF) & bit8) != 0)
+    t_sel = jnp.where(eligible, tn, inf)
+    tmin_c = jnp.min(t_sel, axis=0, keepdims=True)
+    best_j = jnp.argmin(t_sel, axis=0)[None, :].astype(jnp.int32)
+    has_child = tmin_c < inf
+    oh8 = j8 == best_j
+    link_best = jnp.sum(jnp.where(oh8, links, 0), axis=0, keepdims=True)
+    elig_bits = jnp.sum(jnp.where(eligible, bit8, 0), axis=0, keepdims=True)
+    remaining = elig_bits & ~(jnp.int32(1) << best_j)
+    descend = jnp.where(link_best >= 0, (link_best << 8) | 0xFF, link_best)
+    node_next = jnp.where(has_child, descend, POP)
+    push = is_node & has_child & (remaining != 0)
+    push_val = ((cur >> 8) << 8) | remaining
+
+    v0x, v0y, v0z = rt[0:12], rt[12:24], rt[24:36]
+    e1x, e1y, e1z = rt[36:48], rt[48:60], rt[60:72]
+    e2x, e2y, e2z = rt[72:84], rt[84:96], rt[96:108]
+    ids = _i32(rt[108:120])
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    tri_ok = ((ids != -1) & (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
+              & (u + v <= 1.0) & (t > tmn) & (t < t_best))
+    t_tri = jnp.where(tri_ok, t, inf)
+    t_hit = jnp.min(t_tri, axis=0, keepdims=True)
+    oh12 = j12 == jnp.argmin(t_tri, axis=0)[None, :].astype(jnp.int32)
+    leaf_hit = is_leaf & (t_hit < inf)
+
+    nxt = jnp.where(is_node, node_next,
+                    jnp.where(cur <= -2, jnp.int32(POP), jnp.int32(DONE)))
+    if any_hit:
+        nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+    hit_vals = (t_hit,
+                jnp.sum(jnp.where(oh12, ids, 0), axis=0, keepdims=True),
+                jnp.sum(jnp.where(oh12, u, 0.0), axis=0, keepdims=True),
+                jnp.sum(jnp.where(oh12, v, 0.0), axis=0, keepdims=True))
+    return leaf_hit, hit_vals, nxt, push, push_val
+
+
+def _push_pop(stack, sp, cur, nxt, push, push_val):
+    pushed = pltpu.roll(stack, 1, 0)
+    pushed = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (STACK_D, LANES), 0) == 0,
+        push_val, pushed)
+    stack = jnp.where(push, pushed, stack)
+    sp = sp + push.astype(jnp.int32)
+    want_pop = nxt == POP
+    can_pop = want_pop & (sp > 0)
+    top = stack[0:1]
+    popped = pltpu.roll(stack, STACK_D - 1, 0)
+    stack = jnp.where(can_pop, popped, stack)
+    sp = jnp.where(can_pop, sp - 1, sp)
+    cur = jnp.where(want_pop, jnp.where(can_pop, top, DONE), nxt)
+    return stack, sp, cur
+
+
+def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
+                any_hit, K, G, V, max_iters):
+    """Phase 1: top-table traversal emitting real hits + treelet visits."""
+    tb = table_ref[:]
+    slabs = [tb[:, s * LANES:(s + 1) * LANES] for s in range(n_slabs)]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+    iota_kv = jax.lax.broadcasted_iota(jnp.int32, (K * V, LANES), 0)
+
+    def fetch_row(row_idx):
+        ri = jnp.clip(row_idx, 0, n_top - 1)
+        lo = jnp.broadcast_to(ri & (LANES - 1), (LANES, LANES))
+        hi = ri >> 7
+        rt = jnp.take_along_axis(slabs[0], lo, axis=1)
+        for s in range(1, n_slabs):
+            g = jnp.take_along_axis(slabs[s], lo, axis=1)
+            rt = jnp.where(jnp.broadcast_to(hi == s, (LANES, LANES)), g, rt)
+        return rt
+
+    def tile_init(g):
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]
+        first = [rays_g[a, 0:1, :] for a in range(12)]
+        cur = (_i32(first[11]) << 8) | 0xFF
+        outs = (jnp.zeros((K, LANES), jnp.float32),
+                jnp.full((K, LANES), -1, jnp.int32),
+                jnp.zeros((K, LANES), jnp.float32),
+                jnp.zeros((K, LANES), jnp.float32))
+        return (cur, jnp.zeros((1, LANES), jnp.int32),
+                jnp.zeros((1, LANES), jnp.int32),
+                jnp.zeros((STACK_D, LANES), jnp.int32),
+                tuple(first[:10]), first[10],
+                jnp.full((1, LANES), -1, jnp.int32),
+                jnp.zeros((1, LANES), jnp.float32),
+                jnp.zeros((1, LANES), jnp.float32), outs,
+                jnp.full((K * V, LANES), -1, jnp.int32),   # visit tids
+                jnp.zeros((1, LANES), jnp.int32),          # vcount (cur ray)
+                jnp.zeros((K, LANES), jnp.int32))          # counts out
+
+    def tile_step(g, st):
+        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs,
+         vbuf, vcount, vcounts) = st
+        row_idx = jnp.where(cur >= 0, cur >> 8, -2 - cur)
+        virtual = (cur <= -2) & (row_idx >= n_top)
+        rt = fetch_row(row_idx)
+        leaf_hit, hv, nxt, push, push_val = _step_core(
+            rt, regs, cur, t_best, any_hit, virtual=virtual)
+        # record the visit BEFORE the pop: slot kcur*V + vcount
+        oh_v = (iota_kv == kcur * V + jnp.minimum(vcount, V - 1)) & virtual \
+            & (vcount < V)
+        vbuf = jnp.where(oh_v, row_idx - n_top, vbuf)
+        vcount = vcount + virtual.astype(jnp.int32)
+        nxt = jnp.where(virtual, jnp.int32(POP), nxt)
+
+        t_hit, id_hit, u_hit, v_hit = hv
+        t_best = jnp.where(leaf_hit, t_hit, t_best)
+        tri_b = jnp.where(leaf_hit, id_hit, tri_b)
+        u_b = jnp.where(leaf_hit, u_hit, u_b)
+        v_b = jnp.where(leaf_hit, v_hit, v_b)
+        stack, sp, cur = _push_pop(stack, sp, cur, nxt, push, push_val)
+
+        completed = (cur == DONE) & (kcur < K)
+        oh_k = (iota_k == kcur) & completed
+        out_t, out_tri, out_u, out_v = outs
+        out_t = jnp.where(oh_k, t_best, out_t)
+        out_tri = jnp.where(oh_k, tri_b, out_tri)
+        out_u = jnp.where(oh_k, u_b, out_u)
+        out_v = jnp.where(oh_k, v_b, out_v)
+        vcounts = jnp.where(oh_k, vcount, vcounts)
+        knext = jnp.where(completed, kcur + 1, kcur)
+        fetch = completed & (knext < K)
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]
+        kidx = jnp.broadcast_to(jnp.clip(knext, 0, K - 1), (K, LANES))
+        new = [jnp.take_along_axis(rays_g[a], kidx, axis=0)[0:1]
+               for a in range(12)]
+        regs = tuple(jnp.where(fetch, new[a], r) for a, r in enumerate(regs))
+        t_best = jnp.where(fetch, new[10], t_best)
+        tri_b = jnp.where(fetch, -1, tri_b)
+        u_b = jnp.where(fetch, 0.0, u_b)
+        v_b = jnp.where(fetch, 0.0, v_b)
+        vcount = jnp.where(fetch, 0, vcount)
+        cur = jnp.where(fetch, (_i32(new[11]) << 8) | 0xFF, cur)
+        sp = jnp.where(fetch, 0, sp)
+        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
+                (out_t, out_tri, out_u, out_v), vbuf, vcount, vcounts)
+
+    def cond(state):
+        it, tiles = state
+        alive = jnp.zeros((), jnp.bool_)
+        for g in range(G):
+            alive = alive | jnp.any(tiles[g][0] != DONE)
+        return (it < max_iters) & alive
+
+    def body(state):
+        it, tiles = state
+        return it + 1, tuple(tile_step(g, tiles[g]) for g in range(G))
+
+    init = (jnp.int32(0), tuple(tile_init(g) for g in range(G)))
+    it, tiles = jax.lax.while_loop(cond, body, init)
+    for g in range(G):
+        st = tiles[g]
+        out_t, out_tri, out_u, out_v = st[9]
+        sl = slice(g * LANES, (g + 1) * LANES)
+        out_ref[0, :, sl] = out_t
+        out_ref[1, :, sl] = _f32(out_tri)
+        out_ref[2, :, sl] = out_u
+        out_ref[3, :, sl] = out_v
+        out_ref[4, :, sl] = jnp.broadcast_to(it.astype(jnp.float32), (K, LANES))
+        vis_ref[0:K * V, sl] = st[10]
+        vis_ref[K * V:K * V + K, sl] = st[12]
+
+
+def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
+                    treelet_rows, any_hit, K, G, max_iters):
+    """Phase 2: traverse ONE treelet slab for a block of sorted visits."""
+    tb = table_ref[0]                        # (128, treelet_rows)
+    slabs = [tb[:, s * LANES:(s + 1) * LANES] for s in range(n_slabs)]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+
+    def fetch_row(row_idx):
+        ri = jnp.clip(row_idx, 0, treelet_rows - 1)
+        lo = jnp.broadcast_to(ri & (LANES - 1), (LANES, LANES))
+        hi = ri >> 7
+        rt = jnp.take_along_axis(slabs[0], lo, axis=1)
+        for s in range(1, n_slabs):
+            g = jnp.take_along_axis(slabs[s], lo, axis=1)
+            rt = jnp.where(jnp.broadcast_to(hi == s, (LANES, LANES)), g, rt)
+        return rt
+
+    def tile_init(g):
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]
+        first = [rays_g[a, 0:1, :] for a in range(12)]
+        outs = (jnp.zeros((K, LANES), jnp.float32),
+                jnp.full((K, LANES), -1, jnp.int32),
+                jnp.zeros((K, LANES), jnp.float32),
+                jnp.zeros((K, LANES), jnp.float32))
+        return ((_i32(first[11]) << 8) | 0xFF,   # per-visit subtree root
+                jnp.zeros((1, LANES), jnp.int32),
+                jnp.zeros((1, LANES), jnp.int32),
+                jnp.zeros((STACK_D, LANES), jnp.int32),
+                tuple(first[:10]), first[10],
+                jnp.full((1, LANES), -1, jnp.int32),
+                jnp.zeros((1, LANES), jnp.float32),
+                jnp.zeros((1, LANES), jnp.float32), outs)
+
+    def tile_step(g, st):
+        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs) = st
+        row_idx = jnp.where(cur >= 0, cur >> 8, -2 - cur)
+        rt = fetch_row(row_idx)
+        leaf_hit, hv, nxt, push, push_val = _step_core(
+            rt, regs, cur, t_best, any_hit)
+        t_hit, id_hit, u_hit, v_hit = hv
+        t_best = jnp.where(leaf_hit, t_hit, t_best)
+        tri_b = jnp.where(leaf_hit, id_hit, tri_b)
+        u_b = jnp.where(leaf_hit, u_hit, u_b)
+        v_b = jnp.where(leaf_hit, v_hit, v_b)
+        stack, sp, cur = _push_pop(stack, sp, cur, nxt, push, push_val)
+
+        completed = (cur == DONE) & (kcur < K)
+        oh_k = (iota_k == kcur) & completed
+        out_t, out_tri, out_u, out_v = outs
+        out_t = jnp.where(oh_k, t_best, out_t)
+        out_tri = jnp.where(oh_k, tri_b, out_tri)
+        out_u = jnp.where(oh_k, u_b, out_u)
+        out_v = jnp.where(oh_k, v_b, out_v)
+        knext = jnp.where(completed, kcur + 1, kcur)
+        fetch = completed & (knext < K)
+        rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]
+        kidx = jnp.broadcast_to(jnp.clip(knext, 0, K - 1), (K, LANES))
+        new = [jnp.take_along_axis(rays_g[a], kidx, axis=0)[0:1]
+               for a in range(12)]
+        regs = tuple(jnp.where(fetch, new[a], r) for a, r in enumerate(regs))
+        t_best = jnp.where(fetch, new[10], t_best)
+        tri_b = jnp.where(fetch, -1, tri_b)
+        u_b = jnp.where(fetch, 0.0, u_b)
+        v_b = jnp.where(fetch, 0.0, v_b)
+        cur = jnp.where(fetch, (_i32(new[11]) << 8) | 0xFF, cur)
+        sp = jnp.where(fetch, 0, sp)
+        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
+                (out_t, out_tri, out_u, out_v))
+
+    def cond(state):
+        it, tiles = state
+        alive = jnp.zeros((), jnp.bool_)
+        for g in range(G):
+            alive = alive | jnp.any(tiles[g][0] != DONE)
+        return (it < max_iters) & alive
+
+    def body(state):
+        it, tiles = state
+        return it + 1, tuple(tile_step(g, tiles[g]) for g in range(G))
+
+    init = (jnp.int32(0), tuple(tile_init(g) for g in range(G)))
+    it, tiles = jax.lax.while_loop(cond, body, init)
+    for g in range(G):
+        out_t, out_tri, out_u, out_v = tiles[g][9]
+        sl = slice(g * LANES, (g + 1) * LANES)
+        out_ref[0, :, sl] = out_t
+        out_ref[1, :, sl] = _f32(out_tri)
+        out_ref[2, :, sl] = out_u
+        out_ref[3, :, sl] = out_v
+        out_ref[4, :, sl] = jnp.broadcast_to(it.astype(jnp.float32), (K, LANES))
+
+
+def _pack_attrs(o, d, tmin, tmax, roots, pad_to):
+    inv_d = _safe_inv(d)
+    attrs = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2],
+                       inv_d[:, 0], inv_d[:, 1], inv_d[:, 2],
+                       tmin, tmax, _f32(roots)], axis=0)
+    n = o.shape[0]
+    if pad_to > n:
+        fill = jnp.zeros((12, pad_to - n), attrs.dtype)
+        fill = fill.at[5].set(1.0).at[8].set(1.0)
+        fill = fill.at[10].set(-1.0)
+        attrs = jnp.concatenate([attrs, fill], axis=1)
+    return attrs
+
+
+@partial(jax.jit, static_argnames=("any_hit", "K", "G", "V", "max_iters",
+                                   "with_iters"))
+def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
+                      any_hit: bool = False, K: int = DEFAULT_K,
+                      G: int = DEFAULT_G, V: int = DEFAULT_V,
+                      max_iters: int = 4096, with_iters: bool = False):
+    """Two-phase treelet traversal.
+
+    top_t:   (128, S_top*128) transposed top table (traversal_pl.prep_table)
+    slabs_t: (n_treelets + 1, 128, treelet_rows) transposed treelet slabs;
+             the LAST slab is the all-inert pad slab (row-0 links DONE).
+    vid_map: (n_vids, 2) i32 — visit id -> (treelet id, local root row).
+    """
+    n_top = top_t.shape[1]
+    n_slabs_top = n_top // LANES
+    n_tt = slabs_t.shape[0] - 1
+    t_rows = slabs_t.shape[2]
+    N = rays.o.shape[0]
+    block = K * G * LANES
+    Np = -(-N // block) * block
+    interpret = jax.default_backend() == "cpu"
+
+    # ---------------- phase 1: top traversal ----------------
+    attrs = _pack_attrs(rays.o, rays.d, rays.tmin, rays.tmax,
+                        jnp.zeros(N, jnp.int32), Np)
+    B1 = Np // K
+    attrs = attrs.reshape(12, K, B1)
+    kern1 = partial(_top_kernel, n_slabs=n_slabs_top, n_top=n_top,
+                    any_hit=any_hit, K=K, G=G, V=V, max_iters=max_iters)
+    out1, vis = pl.pallas_call(
+        kern1,
+        grid=(B1 // (G * LANES),),
+        out_shape=(jax.ShapeDtypeStruct((5, K, B1), jnp.float32),
+                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec((128, n_top), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, K, G * LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((5, K, G * LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((K * V + K, G * LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(top_t, attrs)
+    t0_ = out1[0].reshape(Np)
+    tri0 = _i32(out1[1]).reshape(Np)
+    u0 = out1[2].reshape(Np)
+    v0 = out1[3].reshape(Np)
+    it1 = jnp.sum(out1[4, 0].reshape(-1, G * LANES)[:, 0])
+    # visits: vis rows [k*V + j] hold the j-th visit of slot-k rays
+    vids = vis[0:K * V].reshape(K, V, B1).transpose(0, 2, 1).reshape(Np, V)
+    vcnt = vis[K * V:].reshape(K, B1).reshape(Np)
+    dropped = jnp.sum(jnp.maximum(vcnt - V, 0))
+
+    # ---------------- sort visits by treelet ----------------
+    S = Np * V
+    slot_v = jax.lax.broadcasted_iota(jnp.int32, (Np, V), 1)
+    vid_valid = slot_v < jnp.minimum(vcnt, V)[:, None]
+    vid_c = jnp.clip(vids, 0, vid_map.shape[0] - 1)
+    tid_flat = jnp.where(vid_valid, jnp.take(vid_map[:, 0], vid_c),
+                         n_tt).reshape(S)
+    root_flat = jnp.where(vid_valid, jnp.take(vid_map[:, 1], vid_c),
+                          0).reshape(S)
+    order = jnp.argsort(tid_flat)
+    tid_sorted = jnp.take(tid_flat, order)
+    root_sorted = jnp.take(root_flat, order)
+    ray_sorted = (order // V).astype(jnp.int32)
+
+    cnt = jax.ops.segment_sum(jnp.ones(S, jnp.int32), tid_flat,
+                              num_segments=n_tt + 1)
+    blocks_per = -(-cnt // block)
+    blocks_per = blocks_per.at[n_tt].set(0)
+    base_blk = jnp.cumsum(blocks_per) - blocks_per
+    start = jnp.cumsum(cnt) - cnt
+    rank = jnp.arange(S, dtype=jnp.int32) - jnp.take(start, tid_sorted)
+    n_blocks = S // block + n_tt + 1
+    dest = jnp.take(base_blk, tid_sorted) * block + rank
+    valid_v = tid_sorted < n_tt
+    dest = jnp.where(valid_v, dest, n_blocks * block)
+
+    slot_ray = jnp.full(n_blocks * block, -1, jnp.int32)
+    slot_ray = slot_ray.at[dest].set(ray_sorted, mode="drop")
+    slot_root = jnp.zeros(n_blocks * block, jnp.int32)
+    slot_root = slot_root.at[dest].set(root_sorted, mode="drop")
+    blk_tid = jnp.full(n_blocks, n_tt, jnp.int32)
+    blk_tid = blk_tid.at[jnp.where(valid_v, dest // block, n_blocks)].set(
+        tid_sorted, mode="drop")
+
+    # ---------------- phase 2: treelet blocks ----------------
+    # gather ray attributes COMPONENT-WISE: an (n_slots, 3) intermediate gets
+    # tiled to (8,128) on TPU — a 42x padding blow-up that OOMs HBM at
+    # production slot counts
+    rix = jnp.maximum(slot_ray, 0)
+    comp = lambda a: jnp.take(a, rix)
+    ox_, oy_, oz_ = comp(rays.o[:, 0]), comp(rays.o[:, 1]), comp(rays.o[:, 2])
+    dx_, dy_, dz_ = comp(rays.d[:, 0]), comp(rays.d[:, 1]), comp(rays.d[:, 2])
+    eps = jnp.float32(1e-20)
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
+                                    jnp.where(d >= 0, eps, -eps), d)
+    stmin = comp(rays.tmin)
+    # prune with the phase-1 result (t0_ <= tmax always)
+    stmax = jnp.where(slot_ray >= 0, comp(t0_), -1.0)
+    attrs2 = jnp.stack([ox_, oy_, oz_, dx_, dy_, dz_,
+                        inv(dx_), inv(dy_), inv(dz_),
+                        stmin, stmax, _f32(slot_root)], axis=0)
+    B2 = n_blocks * block // K
+    # program i's rays block is attrs2[:, :, i*G*128:(i+1)*G*128]: its K ray
+    # slots for lane j must ALL come from block i's contiguous slot range
+    # (they share one treelet), i.e. flat slot i*block + k*(G*128) + j
+    attrs2 = (attrs2.reshape(12, n_blocks, K, G * LANES)
+              .transpose(0, 2, 1, 3).reshape(12, K, B2))
+    kern2 = partial(_treelet_kernel, n_slabs=t_rows // LANES,
+                    treelet_rows=t_rows, any_hit=any_hit, K=K, G=G,
+                    max_iters=max_iters)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 128, t_rows),
+                         lambda i, tid_ref: (tid_ref[i], 0, 0)),
+            pl.BlockSpec((12, K, G * LANES),
+                         lambda i, tid_ref: (0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((5, K, G * LANES),
+                               lambda i, tid_ref: (0, 0, i)),
+    )
+    out2 = pl.pallas_call(
+        kern2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((5, K, B2), jnp.float32),
+        interpret=interpret,
+    )(blk_tid, slabs_t, attrs2)
+    def unblk(x):  # invert the slot reordering above
+        return (x.reshape(K, n_blocks, G * LANES).transpose(1, 0, 2)
+                .reshape(n_blocks * block))
+    t2 = unblk(out2[0])
+    tri2 = _i32(unblk(out2[1]))
+    u2 = unblk(out2[2])
+    v2 = unblk(out2[3])
+    it2 = jnp.sum(out2[4, 0].reshape(-1, G * LANES)[:, 0])
+
+    # ---------------- reduce onto rays ----------------
+    hit2 = (tri2 >= 0) & (slot_ray >= 0)
+    ridx = jnp.where(hit2, slot_ray, Np)
+    t_best = t0_.at[ridx].min(jnp.where(hit2, t2, jnp.inf), mode="drop")
+    win = hit2 & (t2 <= jnp.take(t_best, rix))
+    widx = jnp.where(win, slot_ray, Np)
+    tri_f = tri0.at[widx].set(tri2, mode="drop")
+    u_f = u0.at[widx].set(u2, mode="drop")
+    v_f = v0.at[widx].set(v2, mode="drop")
+    hit = Hit(t=t_best[:N], tri=tri_f[:N], u=u_f[:N], v=v_f[:N])
+    if with_iters:
+        iters = it1 + it2
+        rows = iters * jnp.float32(G * LANES)
+        return hit, iters, rows
+    return hit
+
+
+# diagnostics hook: last-known dropped-visit count is folded into the hit
+# reduction above; expose a standalone counter for tests/benches
+@partial(jax.jit, static_argnames=("K", "G", "V", "max_iters"))
+def count_dropped_visits(top_t: Array, n_treelets: int, rays: Rays,
+                         K: int = DEFAULT_K, G: int = DEFAULT_G,
+                         V: int = DEFAULT_V, max_iters: int = 4096):
+    """Run phase 1 only and return (total visits, visits dropped past V)."""
+    n_top = top_t.shape[1]
+    N = rays.o.shape[0]
+    block = K * G * LANES
+    Np = -(-N // block) * block
+    attrs = _pack_attrs(rays.o, rays.d, rays.tmin, rays.tmax,
+                        jnp.zeros(N, jnp.int32), Np)
+    B1 = Np // K
+    attrs = attrs.reshape(12, K, B1)
+    kern1 = partial(_top_kernel, n_slabs=n_top // LANES, n_top=n_top,
+                    any_hit=False, K=K, G=G, V=V, max_iters=max_iters)
+    interpret = jax.default_backend() == "cpu"
+    _, vis = pl.pallas_call(
+        kern1,
+        grid=(B1 // (G * LANES),),
+        out_shape=(jax.ShapeDtypeStruct((5, K, B1), jnp.float32),
+                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec((128, n_top), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, K, G * LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((5, K, G * LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((K * V + K, G * LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(top_t, attrs)
+    vcnt = vis[K * V:].reshape(Np)
+    return jnp.sum(vcnt), jnp.sum(jnp.maximum(vcnt - V, 0))

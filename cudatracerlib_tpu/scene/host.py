@@ -397,9 +397,20 @@ class DynamicScene:
         node_a = np.concatenate(node_ids)
         shade = schema.pack_shade_rows(n0a, n1a, n2a, uv0a, uv1a, uv2a, ng,
                                        v0, v1, v2, mat_a, light_a, node_a)
+        # HBM-scale scenes: precompute the treelet decomposition for the
+        # two-phase Pallas traversal (scene/treelet.py, ops/traversal_tt.py)
+        tt_top = tt_slabs = tt_vid = None
+        from . import treelet as treeletmod
+        part = treeletmod.partition(wide)
+        if part is not None:
+            top_np, slabs_np = treeletmod.prep_device(part)
+            tt_top = jnp.asarray(top_np)
+            tt_slabs = jnp.asarray(slabs_np)
+            tt_vid = jnp.asarray(part.vid_map)
         geom = schema.GeometryTable(
             tris=jnp.asarray(tris), nodes=jnp.asarray(b.nodes),
             tri_order=jnp.asarray(b.tri_order), wide=jnp.asarray(wide),
+            tt_top=tt_top, tt_slabs=tt_slabs, tt_vid=tt_vid,
             n0=jnp.asarray(n0a, jnp.float32),
             n1=jnp.asarray(n1a, jnp.float32),
             n2=jnp.asarray(n2a, jnp.float32),

@@ -113,13 +113,20 @@ class GeometryTable(NamedTuple):
     shade: Array      # (T, 32) f32 packed shading fat row (pack_shade_rows):
     #                   one gather per hit instead of ~10 (fill_dg hot path)
     inst: "InstanceTable | None" = None
+    # HBM-scale treelet decomposition (scene/treelet.py), present when `wide`
+    # exceeds the VMEM kernel's limit: transposed top table (128, S_top*128)
+    # and transposed treelet slabs (n_treelets+1, 128, R_t); the last slab is
+    # the inert pad slab. Static meta (counts, rows) comes from the shapes.
+    tt_top: "Array | None" = None
+    tt_slabs: "Array | None" = None
+    tt_vid: "Array | None" = None   # (n_vids, 2) i32 visit->(treelet, root)
 
 
 SHADE_WIDTH = 32
 
 
 def pack_shade_rows(n0, n1, n2, uv0, uv1, uv2, ng, v0, v1, v2,
-                    mat_id, light_id, node_id):
+                    mat_id, light_id, node_id, extra=None):
     """Pack per-triangle shading data into one (T, 32) fat row.
 
     A TPU vector gather costs the same for any row width up to 128 f32, so
@@ -128,11 +135,15 @@ def pack_shade_rows(n0, n1, n2, uv0, uv1, uv2, ng, v0, v1, v2,
     precomputed here instead of per-hit.
     Layout: [0:3]=n0 [3:6]=n1 [6:9]=n2 [9:11]=uv0 [11:13]=uv1 [13:15]=uv2
     [15:18]=ng [18:21]=dpdu (0 when the UV map is degenerate) [21]=uv_density
-    [22]=degenerate flag [23]=mat_id [24]=light_id [25]=node_id (i32 bitcast).
+    [22]=degenerate flag [23]=mat_id [24]=light_id [25]=node_id (i32 bitcast)
+    [26:29]=per-vertex extra data (reference ExtraDataTexture source,
+    SceneTypes/Texture.h:234 — barycentric-interpolated by fill_dg).
     """
     import numpy as np
     T = n0.shape[0]
     rows = np.zeros((T, SHADE_WIDTH), np.float32)
+    if extra is not None:
+        rows[:, 26:29] = np.asarray(extra, np.float32)
     rows[:, 0:3] = n0
     rows[:, 3:6] = n1
     rows[:, 6:9] = n2

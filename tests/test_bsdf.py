@@ -57,6 +57,17 @@ SMOOTH_SPECS = {
                                transmittance=(0.3, 0.3, 0.3), exponent=40.0),
     "ward": host.MaterialSpec(bsdf_type=schema.BSDF_WARD, reflectance=(0.4, 0.4, 0.4),
                               transmittance=(0.3, 0.3, 0.3), alpha=0.25, alpha_v=0.15),
+    "coating": host.MaterialSpec(
+        bsdf_type=schema.BSDF_COATING, eta=1.49,
+        transmittance=(0.1, 0.1, 0.1), thickness=1.0, reflectance=(1, 1, 1),
+        nested=host.MaterialSpec(bsdf_type=schema.BSDF_DIFFUSE,
+                                 reflectance=(0.6, 0.4, 0.3))),
+    "roughcoating": host.MaterialSpec(
+        bsdf_type=schema.BSDF_ROUGHCOATING, eta=1.49, alpha=0.25,
+        distribution=1, transmittance=(0.1, 0.1, 0.1), thickness=1.0,
+        reflectance=(1, 1, 1),
+        nested=host.MaterialSpec(bsdf_type=schema.BSDF_DIFFUSE,
+                                 reflectance=(0.6, 0.4, 0.3))),
     "blend": host.MaterialSpec(
         bsdf_type=schema.BSDF_BLEND, blend_weight=0.4,
         nested=host.MaterialSpec(bsdf_type=schema.BSDF_DIFFUSE, reflectance=(0.8, 0.2, 0.2)),

