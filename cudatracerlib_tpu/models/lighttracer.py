@@ -46,10 +46,17 @@ def splat_to_camera(scene: schema.SceneData, film: filmmod.Film, p: Array,
 
 
 def lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx, n_paths: int,
-            max_depth: int, active_types: Sequence[int]) -> filmmod.Film:
-    """Trace n_paths light subpaths; splat every vertex to the camera."""
-    path_idx = jnp.arange(n_paths, dtype=jnp.int32)
-    state = rngmod.seed(path_idx, pass_idx, jnp.uint32(0x9E3779B9))
+            max_depth: int, active_types: Sequence[int],
+            path_ids: Array = None, total_paths: int = None) -> filmmod.Film:
+    """Trace n_paths light subpaths; splat every vertex to the camera.
+
+    path_ids/total_paths support multi-chip sharding: each shard traces its
+    own id range while the splat normalization uses the global path count."""
+    if path_ids is None:
+        path_ids = jnp.arange(n_paths, dtype=jnp.int32)
+    n_paths = path_ids.shape[0]
+    n_total = total_paths or n_paths
+    state = rngmod.seed(path_ids, pass_idx, jnp.uint32(0x9E3779B9))
     er, state = lightsmod.sample_emitter_ray(scene, state)
 
     # splat the emission vertex itself (s=1 connection): radiance of the
@@ -57,13 +64,13 @@ def lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx, n_paths: int,
     sd_dir = sensors.sample_direct(scene.sensor, er.o, None)
     cos_l = jnp.where(jnp.any(er.n != 0, axis=-1),
                       jnp.maximum(vm.dot(er.n, sd_dir.d), 0.0), 1.0)
-    em_val = er.le * (cos_l / jnp.maximum(er.pdf_pos, 1e-12))[:, None] / float(n_paths) * film.w * film.h
+    em_val = er.le * (cos_l / jnp.maximum(er.pdf_pos, 1e-12))[:, None] / float(n_total) * film.w * film.h
     is_area_or_point = jnp.isin(jnp.take(scene.lights.light_type, er.light_idx),
                                 jnp.asarray([schema.LIGHT_POINT, schema.LIGHT_DIFFUSE,
                                              schema.LIGHT_SPOT]))
     film, _ = splat_to_camera(scene, film, er.o, em_val, is_area_or_point)
 
-    beta = er.power / float(n_paths) * film.w * film.h
+    beta = er.power / float(n_total) * film.w * film.h
     rays = traversal.Rays(o=er.o + er.d * 1e-4, d=er.d,
                           tmin=jnp.zeros(n_paths), tmax=jnp.full(n_paths, 1e30))
     active = jnp.ones(n_paths, bool)

@@ -40,7 +40,8 @@ PHOTON_K = 12
 
 def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
                   max_depth: int, active_types, store_medium: bool = False,
-                  collect_beams: bool = False):
+                  collect_beams: bool = False, photon_ids: Array = None,
+                  total_photons: int = None):
     """Light walk storing photons at diffuse-ish surface hits (and medium
     events when store_medium). Returns (rows (N*D, 12), valid) — plus
     (beams (N*D, 16), beams_valid) when collect_beams: one photon beam per
@@ -48,9 +49,11 @@ def trace_photons(scene: schema.SceneData, n_photons: int, pass_idx, state_seed,
     [o(3) d(3) t_len(1) power(3) sigma_t(3) pad(3)] with power = throughput
     at the segment origin."""
     B = n_photons
-    state = rngmod.seed(jnp.arange(B, dtype=jnp.int32), pass_idx, state_seed)
+    if photon_ids is None:
+        photon_ids = jnp.arange(B, dtype=jnp.int32)
+    state = rngmod.seed(photon_ids, pass_idx, state_seed)
     er, state = lightsmod.sample_emitter_ray(scene, state)
-    beta = er.power / float(B)
+    beta = er.power / float(total_photons or B)
     rays = traversal.Rays(o=er.o + er.d * 1e-4, d=er.d,
                           tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
     active = jnp.ones(B, bool)
@@ -197,7 +200,7 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
              max_depth: int, active_types, kernel_type: int = kernelsmod.PERLIN,
              with_volume: bool = False, vol_est: str = "beamgrid",
              vol_max_per_cell: int = 16, ppm_state=None, alpha: float = 2.0 / 3.0,
-             final_gather: bool = False):
+             final_gather: bool = False, pixel_idx: Array = None):
     """Camera walk to the first smooth vertex (through specular chains), then
     one density-estimation gather at that vertex. Direct emission is added
     analytically (hit emitters / env).
@@ -208,10 +211,12 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     gathered flux accumulates in the state's tau and the function returns
     (film, new_state). With final_gather the walk samples ONE extra bounce at
     the first smooth vertex and density-estimates there instead, while the
-    vertex itself gets NEE direct lighting (PPPMTracer_EyePass.cu:16-40)."""
-    B = w * h
+    vertex itself gets NEE direct lighting (PPPMTracer_EyePass.cu:16-40).
+    pixel_idx restricts the walk to a pixel subset (multi-chip sharding)."""
     adaptive = ppm_state is not None
-    pixel_idx = jnp.arange(B, dtype=jnp.int32)
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    B = pixel_idx.shape[0]
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
     L = jnp.zeros((B, 3))
     beta = jnp.ones((B, 3))

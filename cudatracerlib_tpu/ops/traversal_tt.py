@@ -434,8 +434,12 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     root_sorted = jnp.take(root_flat, order)
     ray_sorted = (order // V).astype(jnp.int32)
 
-    cnt = jax.ops.segment_sum(jnp.ones(S, jnp.int32), tid_flat,
-                              num_segments=n_tt + 1)
+    # NOTE on scatter flags: TPU scatters with arbitrary unflagged indices
+    # lower to near-serial loops (measured 100ms-scale at these sizes);
+    # `dest` below is strictly increasing and unique for valid entries, so
+    # every scatter here carries indices_are_sorted + unique_indices.
+    cnt = jax.ops.segment_sum(jnp.ones(S, jnp.int32), tid_sorted,
+                              num_segments=n_tt + 1, indices_are_sorted=True)
     blocks_per = -(-cnt // block)
     blocks_per = blocks_per.at[n_tt].set(0)
     base_blk = jnp.cumsum(blocks_per) - blocks_per
@@ -447,12 +451,22 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     dest = jnp.where(valid_v, dest, n_blocks * block)
 
     slot_ray = jnp.full(n_blocks * block, -1, jnp.int32)
-    slot_ray = slot_ray.at[dest].set(ray_sorted, mode="drop")
+    slot_ray = slot_ray.at[dest].set(ray_sorted, mode="drop",
+                                     indices_are_sorted=True,
+                                     unique_indices=True)
     slot_root = jnp.zeros(n_blocks * block, jnp.int32)
-    slot_root = slot_root.at[dest].set(root_sorted, mode="drop")
-    blk_tid = jnp.full(n_blocks, n_tt, jnp.int32)
-    blk_tid = blk_tid.at[jnp.where(valid_v, dest // block, n_blocks)].set(
-        tid_sorted, mode="drop")
+    slot_root = slot_root.at[dest].set(root_sorted, mode="drop",
+                                       indices_are_sorted=True,
+                                       unique_indices=True)
+    # block -> treelet id without a scatter: block b belongs to the first
+    # treelet whose cumulative block range ends past b
+    ends = jnp.cumsum(blocks_per)
+    blk_tid = jnp.minimum(
+        jnp.searchsorted(ends, jnp.arange(n_blocks, dtype=jnp.int32),
+                         side="right"), n_tt).astype(jnp.int32)
+    # flat visit index -> its slot (order is a permutation: unique indices)
+    slot_of_flat = jnp.full(S, n_blocks * block, jnp.int32)
+    slot_of_flat = slot_of_flat.at[order].set(dest, unique_indices=True)
 
     # ---------------- phase 2: treelet blocks ----------------
     # gather ray attributes COMPONENT-WISE: an (n_slots, 3) intermediate gets
@@ -507,16 +521,26 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     v2 = unblk(out2[3])
     it2 = jnp.sum(out2[4, 0].reshape(-1, G * LANES)[:, 0])
 
-    # ---------------- reduce onto rays ----------------
-    hit2 = (tri2 >= 0) & (slot_ray >= 0)
-    ridx = jnp.where(hit2, slot_ray, Np)
-    t_best = t0_.at[ridx].min(jnp.where(hit2, t2, jnp.inf), mode="drop")
-    win = hit2 & (t2 <= jnp.take(t_best, rix))
-    widx = jnp.where(win, slot_ray, Np)
-    tri_f = tri0.at[widx].set(tri2, mode="drop")
-    u_f = u0.at[widx].set(u2, mode="drop")
-    v_f = v0.at[widx].set(v2, mode="drop")
-    hit = Hit(t=t_best[:N], tri=tri_f[:N], u=u_f[:N], v=v_f[:N])
+    # ---------------- reduce onto rays (gather-based) ----------------
+    # each ray owns <=V visits; gather their per-slot hits back through
+    # slot_of_flat and min-reduce over the V axis — no scatter-min over the
+    # slot array (TPU scatters with non-sorted indices are near-serial)
+    slot_rv = jnp.minimum(slot_of_flat, n_blocks * block - 1).reshape(Np, V)
+    t_v = jnp.take(t2, slot_rv)
+    tri_v = jnp.take(tri2, slot_rv)
+    u_v = jnp.take(u2, slot_rv)
+    v_v = jnp.take(v2, slot_rv)
+    ok_v = vid_valid & (tri_v >= 0)
+    t_v = jnp.where(ok_v, t_v, jnp.inf)
+    jbest = jnp.argmin(t_v, axis=1)
+    ohv = jax.lax.broadcasted_iota(jnp.int32, (Np, V), 1) == jbest[:, None]
+    t_min = jnp.min(t_v, axis=1)
+    better = t_min < t0_
+    pick = lambda arr: jnp.sum(jnp.where(ohv, arr, 0), axis=1)
+    hit = Hit(t=jnp.where(better, t_min, t0_)[:N],
+              tri=jnp.where(better, pick(tri_v), tri0)[:N],
+              u=jnp.where(better, pick(u_v), u0)[:N],
+              v=jnp.where(better, pick(v_v), v0)[:N])
     if with_iters:
         iters = it1 + it2
         rows = iters * jnp.float32(G * LANES)

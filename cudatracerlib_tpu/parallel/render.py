@@ -71,6 +71,82 @@ def sharded_pt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx: Array
     return run(scene, film, pixel_idx, jnp.int32(pass_idx))
 
 
+def sharded_lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+                    mesh: Mesh, w: int, h: int, max_depth: int = 8,
+                    n_paths: int = None, active_types: Sequence[int] = None,
+                    axis: str = "tiles") -> filmmod.Film:
+    """One light-tracing pass with LIGHT PATHS sharded over the mesh: each
+    chip walks its own path-id range and splats into a local film; the splat
+    buffers are psum'd over ICI (SURVEY §5: splat-film psum for LT)."""
+    from ..models import lighttracer as ltmod
+    if active_types is None:
+        active_types = pathmod.scene_active_types(scene)
+    n_paths = n_paths or (w * h)
+    n_dev = mesh.shape[axis]
+    assert n_paths % n_dev == 0
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P()),
+             out_specs=P(), check_vma=False)
+    def run(scene, film, path_ids, pass_idx):
+        local = ltmod.lt_pass(scene, filmmod.new_film(w, h), pass_idx,
+                              n_paths=n_paths, max_depth=max_depth,
+                              active_types=tuple(active_types),
+                              path_ids=path_ids, total_paths=n_paths)
+        splat = jax.lax.psum(local.splat, axis)
+        return film._replace(splat=film.splat + splat,
+                             weight=jnp.ones_like(film.weight))
+
+    path_ids = jnp.arange(n_paths, dtype=jnp.int32)
+    return run(scene, film, path_ids, jnp.int32(pass_idx))
+
+
+def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+                     mesh: Mesh, w: int, h: int, radius, n_photons: int = None,
+                     max_depth: int = 6, active_types: Sequence[int] = None,
+                     axis: str = "tiles") -> filmmod.Film:
+    """One progressive-photon-mapping pass over the mesh (SURVEY §5): each
+    chip walks its own PHOTON shard locally, the photon rows are
+    all_gather'ed over ICI so every chip owns the full map, the sort-based
+    grid is built redundantly per chip (it has no atomic structure to merge —
+    rebuilding beats shipping sorted cell lists), and the EYE pass shards the
+    pixel axis with a psum'd film."""
+    from ..models import ppm as ppmmod
+    if active_types is None:
+        active_types = pathmod.scene_active_types(scene)
+    n_photons = n_photons or (w * h)
+    n_dev = mesh.shape[axis]
+    assert n_photons % n_dev == 0 and (w * h) % n_dev == 0
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+             out_specs=P(), check_vma=False)
+    def run(scene, film, photon_ids, pixel_idx, pass_idx, r):
+        rows, valid = ppmmod.trace_photons(
+            scene, n_photons=photon_ids.shape[0], pass_idx=pass_idx,
+            state_seed=0x9907, max_depth=max_depth,
+            active_types=tuple(active_types), photon_ids=photon_ids,
+            total_photons=n_photons)
+        rows = jax.lax.all_gather(rows, axis).reshape(-1, rows.shape[-1])
+        valid = jax.lax.all_gather(valid, axis).reshape(-1)
+        grid = ppmmod._build_surface_grid(rows, valid, scene.world_lo,
+                                          scene.world_hi, 2.0 * r)
+        local = ppmmod.eye_pass(
+            scene, filmmod.new_film(w, h), grid, None, pass_idx,
+            w=w, h=h, radius=r, n_emitted=float(n_photons),
+            max_depth=max_depth, active_types=tuple(active_types),
+            with_volume=False, pixel_idx=pixel_idx)
+        return film._replace(
+            rgb=film.rgb + jax.lax.psum(local.rgb, axis),
+            weight=film.weight + jax.lax.psum(local.weight, axis),
+            splat=film.splat + jax.lax.psum(local.splat, axis))
+
+    photon_ids = jnp.arange(n_photons, dtype=jnp.int32)
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    return run(scene, film, photon_ids, pixel_idx, jnp.int32(pass_idx),
+               jnp.float32(radius))
+
+
 def replicate_scene(scene: schema.SceneData, mesh: Mesh) -> schema.SceneData:
     """Place every scene array replicated across the mesh."""
     from jax.sharding import NamedSharding

@@ -401,7 +401,7 @@ class DynamicScene:
         # two-phase Pallas traversal (scene/treelet.py, ops/traversal_tt.py)
         tt_top = tt_slabs = tt_vid = None
         from . import treelet as treeletmod
-        part = treeletmod.partition(wide)
+        part = treeletmod.partition_cached(wide)
         if part is not None:
             top_np, slabs_np = treeletmod.prep_device(part)
             tt_top = jnp.asarray(top_np)

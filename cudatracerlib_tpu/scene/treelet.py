@@ -221,6 +221,32 @@ def partition(table: np.ndarray, treelet_rows: int = TREELET_ROWS,
                         treelet_rows=treelet_rows, vid_map=vid_map)
 
 
+def partition_cached(table: np.ndarray, **kw) -> "TreeletTable | None":
+    """Disk-cached partition (the Python BFS over ~100k rows costs seconds;
+    scene rebuilds in bench subprocesses shouldn't pay it twice) — the same
+    pattern as the compiled-mesh cache (scene/asset_cache.py)."""
+    import hashlib
+    import os
+    R = table.shape[0]
+    if R <= kw.get("max_top_rows", MAX_TOP_ROWS):
+        return None
+    h = hashlib.sha1(table[:: max(1, R // 997)].tobytes()).hexdigest()[:16]
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    fn = os.path.join(cache_dir, f"treelet_{R}_{h}.npz")
+    if os.path.exists(fn):
+        z = np.load(fn)
+        return TreeletTable(top=z["top"], slabs=z["slabs"],
+                            n_treelets=int(z["n_treelets"]),
+                            treelet_rows=int(z["treelet_rows"]),
+                            vid_map=z["vid_map"])
+    part = partition(table, **kw)
+    np.savez(fn, top=part.top, slabs=part.slabs,
+             n_treelets=part.n_treelets, treelet_rows=part.treelet_rows,
+             vid_map=part.vid_map)
+    return part
+
+
 def prep_device(tt: TreeletTable):
     """Device layouts: transposed top table (traversal_pl convention) and
     transposed slabs with the inert pad slab appended (its root row's links

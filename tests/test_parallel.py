@@ -50,3 +50,43 @@ def test_sharded_smoke():
                                    max_depth=2)
     hdr = np.asarray(filmmod.develop(film))
     assert np.isfinite(hdr).all() and hdr.mean() > 0.0
+
+
+@pytest.mark.slow
+def test_sharded_lt_matches_single_device():
+    """Light-path sharding + splat psum reproduces the single-device LT
+    image exactly (same path ids, same RNG streams)."""
+    from cudatracerlib_tpu.models import lighttracer as ltmod
+    w = h = 32
+    scene = example_scenes.cornell_box(w, h, spheres=False).build()
+    mesh = prender.make_mesh(8)
+    scene_r = prender.replicate_scene(scene, mesh)
+    film = prender.sharded_lt_pass(scene_r, filmmod.new_film(w, h),
+                                   jnp.int32(0), mesh, w, h, max_depth=3)
+    film = film._replace(n_passes=jnp.float32(1.0))
+    img_sharded = np.asarray(filmmod.develop(film))
+
+    tr = ltmod.LightTracer(scene, w, h, max_depth=3)
+    img_single = np.asarray(tr.render(1))
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_ppm_matches_single_device():
+    """Photon sharding + all_gather'ed map + pixel-sharded eye pass matches
+    the single-device surface-PPM image (same photon ids/radius)."""
+    from cudatracerlib_tpu.models import ppm as ppmmod
+    w = h = 32
+    scene = example_scenes.cornell_box(w, h, spheres=False).build()
+    mesh = prender.make_mesh(8)
+    scene_r = prender.replicate_scene(scene, mesh)
+    r = 0.08
+    film = prender.sharded_ppm_pass(scene_r, filmmod.new_film(w, h),
+                                    jnp.int32(0), mesh, w, h, radius=r,
+                                    max_depth=3)
+    film = film._replace(n_passes=jnp.float32(1.0))
+    img_sharded = np.asarray(filmmod.develop(film))
+
+    tr = ppmmod.PPMTracer(scene, w, h, max_depth=3, initial_radius=r)
+    img_single = np.asarray(tr.render(1))
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
