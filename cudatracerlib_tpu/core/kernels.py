@@ -37,3 +37,66 @@ def uniform_k(t, r, dim: int = 3):
 
 def perlin_k(t, r, dim: int = 3):
     return k(PERLIN, t, r, dim)
+
+
+# ---------------------------------------------------------------------------
+# Boundary correction for density estimation near medium boundaries
+# ---------------------------------------------------------------------------
+# A kernel whose support crosses the medium boundary collects no photons from
+# the outside part, biasing the estimate dark near boundaries (the dominant
+# error of the volumetric estimators vs PT on slab scenes). The correction
+# renormalizes by the kernel-mass fraction inside the half-space at signed
+# distance b from the center: contribution /= frac(b / r). Tables are
+# precomputed by quadrature for the Perlin profile (the uniform case has a
+# closed form but shares the table machinery for simplicity).
+
+import numpy as _np  # noqa: E402  (table precompute only)
+
+
+def _mass_inside_tables(n: int = 33):
+    qs = _np.linspace(0.0, 1.0, n)
+    xs = _np.linspace(-1.0, 1.0, 801)
+    dx = xs[1] - xs[0]
+
+    def prof(t):
+        t = _np.clip(t, 0.0, 1.0)
+        return 1.0 - (t * t * t * (t * (t * 6.0 - 15.0) + 10.0))
+
+    out = {}
+    for dim in (1, 2, 3):
+        # kernel mass with support x >= -q (x measured along the boundary
+        # normal), as a fraction of the full mass
+        if dim == 1:
+            w_x = prof(_np.abs(xs))
+        else:
+            # integrate the (dim-1)-dimensional slice at each x
+            w_x = _np.zeros_like(xs)
+            ys = _np.linspace(-1.0, 1.0, 401)
+            dy = ys[1] - ys[0]
+            for i, x in enumerate(xs):
+                rho = _np.sqrt(_np.maximum(1.0 - x * x, 0.0))
+                rr = _np.sqrt(x * x + ys * ys)
+                pw = _np.where(rr <= 1.0, prof(rr), 0.0)
+                if dim == 2:
+                    w_x[i] = pw.sum() * dy
+                else:  # 3D: slice is a disc -> radial weight 2*pi*|y|
+                    w_x[i] = (pw * 2.0 * _np.pi * _np.abs(ys)).sum() * dy
+                del rho
+        total = w_x.sum() * dx
+        fr = _np.array([w_x[xs >= -q].sum() * dx / total for q in qs])
+        out[dim] = _np.clip(fr, 0.05, 1.0).astype(_np.float32)
+    return out[1], out[2], out[3]
+
+
+_FRAC_1D, _FRAC_2D, _FRAC_3D = _mass_inside_tables()
+
+
+def boundary_frac(b, r, dim: int):
+    """Fraction of the (Perlin) kernel mass inside the medium when the kernel
+    center sits at distance b >= 0 from the nearest boundary (dim = kernel
+    dimensionality: 1 beam-beam, 2 beam-disc, 3 point gathers)."""
+    tab = jnp.asarray({1: _FRAC_1D, 2: _FRAC_2D, 3: _FRAC_3D}[dim])
+    q = jnp.clip(b / jnp.maximum(r, 1e-12), 0.0, 1.0) * (tab.shape[0] - 1)
+    q0 = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, tab.shape[0] - 2)
+    f = q - q0
+    return tab[q0] * (1.0 - f) + tab[q0 + 1] * f

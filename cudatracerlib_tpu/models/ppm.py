@@ -170,9 +170,13 @@ def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
     L = jnp.zeros((B, 3))
     tau = jnp.zeros((B, 3))
     r_lane = jnp.full(B, radius)
+    lo_m, hi_m = mediummod.media_aabb(scene.media)
     for k in range(n_steps):
         t_k = (k + 0.5) * dt
         p_k = o + d * t_k[:, None]
+        # boundary-corrected 3D kernel (see core/kernels.boundary_frac)
+        b_d = jnp.min(jnp.minimum(p_k - lo_m, hi_m - p_k), axis=-1)
+        corr = 1.0 / kernelsmod.boundary_frac(jnp.maximum(b_d, 0.0), r_lane, 3)
         sig_a, sig_s, ptype, g = mediummod.sigma_at(scene.media, p_k)
         # exact optical depth up to the sample (analytic chord clipping)
         T = jnp.exp(-(tau + mediummod.tau_segment(scene.media, o, d,
@@ -183,7 +187,7 @@ def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
             is_med = jnp.all(rows[:, 9:12] == 0.0, axis=-1)  # medium photons
             ok = mask & is_med
             dist = jnp.sqrt(jnp.maximum(jnp.sum((rows[:, 0:3] - p_k) ** 2, -1), 0.0))
-            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=3)
+            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=3) * corr
             ph = phasemod.eval_phase(ptype, g, ph_wi, -d)
             return carry + jnp.where(ok[:, None], ph_pow * (kw * ph)[:, None], 0.0)
 

@@ -42,6 +42,7 @@ def radiance_beamgrid(scene: schema.SceneData, grid: hashgrid.HashGrid,
     """
     B = o.shape[0]
     r_lane = jnp.full(B, radius)
+    lo_m, hi_m = mediummod.media_aabb(scene.media)
 
     def visit(carry, flat_cell, t_enter, t_exit, alive):
         L, tau = carry
@@ -59,6 +60,12 @@ def radiance_beamgrid(scene: schema.SceneData, grid: hashgrid.HashGrid,
                   & (foot_cell == flat_cell)                # count each disc once
                   & (t_p >= t_enter) & (t_p <= t_exit))
             kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=2)
+            # boundary-corrected kernel: renormalize by the kernel-mass
+            # fraction inside the medium (density estimation collects no
+            # photons past the boundary, biasing slabs dark near faces)
+            b_d = jnp.min(jnp.minimum(foot - lo_m, hi_m - foot), axis=-1)
+            kw = kw / kernelsmod.boundary_frac(jnp.maximum(b_d, 0.0),
+                                               r_lane, 2)
             ph = phasemod.eval_phase(ptype, g, ph_wi, -d)
             # transmittance at the disc: extend from the cell entry (exact
             # boundary clipping via tau_segment)
@@ -94,6 +101,7 @@ def radiance_beambeam(scene: schema.SceneData, beam_grid: hashgrid.HashGrid,
     """
     B = o.shape[0]
     r_lane = jnp.full(B, radius)
+    lo_m, hi_m = mediummod.media_aabb(scene.media)
 
     def visit(carry, flat_cell, t_enter, t_exit, alive):
         L, tau = carry
@@ -127,6 +135,10 @@ def radiance_beambeam(scene: schema.SceneData, beam_grid: hashgrid.HashGrid,
                   & (t_beam >= 0.0) & (t_beam <= b_len))
             sin_theta = jnp.sqrt(jnp.clip(sin2, 1e-8, 1.0))
             kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=1)
+            # boundary-corrected 1D kernel (see radiance_beamgrid)
+            b_d = jnp.min(jnp.minimum(p_cam - lo_m, hi_m - p_cam), axis=-1)
+            kw = kw / kernelsmod.boundary_frac(jnp.maximum(b_d, 0.0),
+                                               r_lane, 1)
             ph = phasemod.eval_phase(ptype, g, bd, -d)
             T_cam = T_enter * jnp.exp(-mediummod.tau_segment(
                 scene.media, o, d, t_enter, jnp.maximum(s_cam_c, t_enter)))

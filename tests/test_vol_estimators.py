@@ -27,13 +27,16 @@ def slab():
 @pytest.mark.slow
 @pytest.mark.parametrize("estimator", ["point", "beamgrid", "beambeam"])
 def test_slab_estimator_vs_pt(slab, estimator):
+    """Boundary-corrected kernels (core/kernels.boundary_frac) brought the
+    slab bias under the round-1 <5% target; the tolerance here is +-10%
+    (5% bias budget + MC noise at this photon budget)."""
     scene, img_pt = slab
     pm = ppmmod.PPMTracer(scene, 24, 24, max_depth=5, initial_radius=0.25,
                           n_photons=4096, vol_estimator=estimator)
     assert pm.with_volume and pm.vol_est == estimator
     img_pm = np.asarray(pm.render(16))
     ratio = img_pm[8:16, 8:16].mean() / img_pt[8:16, 8:16].mean()
-    assert 0.75 < ratio < 1.25, (estimator, float(ratio))
+    assert 0.90 < ratio < 1.10, (estimator, float(ratio))
 
 
 def test_beamgrid_transmittance_matches_analytic(slab):
