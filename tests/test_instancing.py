@@ -56,6 +56,40 @@ def test_instanced_matches_flattened():
     assert diff < 0.02, float(diff)
 
 
+def test_instanced_hits_match_flattened_to_float_tolerance():
+    """The round-2 review flagged the 2% image diff as a possible local->world
+    hand-off bug. Running it down: traversal hits AND the reconstructed
+    shading frames agree to float tolerance; the image-level diff is chaotic
+    MC path divergence seeded by ULP-level t differences (pre-transformed
+    f32 vertices vs trace-time ray transforms), not a systematic error."""
+    import jax.numpy as jnp
+    from cudatracerlib_tpu.models import tracer as tracermod
+    from cudatracerlib_tpu.ops import shading, traversal8
+
+    sc = _scene()
+    flat = sc.build(instancing="off")
+    inst = sc.build(instancing="auto")
+    w = h = 48
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    rays, _, _, _, _ = tracermod.gen_camera_rays(flat, pix, 0, 0, w, h)
+    hf = traversal8.intersect_scene(flat.geom, rays)
+    hi = traversal8.intersect_scene(inst.geom, rays)
+    assert np.array_equal(np.asarray(hf.valid), np.asarray(hi.valid))
+    both = np.asarray(hf.valid)
+    np.testing.assert_allclose(np.asarray(hi.t)[both], np.asarray(hf.t)[both],
+                               rtol=1e-5, atol=1e-5)
+    sif = shading.fill_dg(flat.geom, rays, hf, flip_to_ray=False)
+    sii = shading.fill_dg(inst.geom, rays, hi, flip_to_ray=False)
+    for name in ("p", "ns", "ng", "uv", "frame_t"):
+        np.testing.assert_allclose(np.asarray(getattr(sii, name))[both],
+                                   np.asarray(getattr(sif, name))[both],
+                                   atol=1e-4, err_msg=name)
+    assert np.array_equal(np.asarray(sii.mat_id)[both],
+                          np.asarray(sif.mat_id)[both])
+    assert np.array_equal(np.asarray(sii.light_id)[both],
+                          np.asarray(sif.light_id)[both])
+
+
 def test_instanced_any_hit_shadows():
     """NEE shadow rays go through the any-hit instanced path."""
     sc = _scene(3)
