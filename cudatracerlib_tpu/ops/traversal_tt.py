@@ -365,11 +365,12 @@ def _pack_attrs(o, d, tmin, tmax, roots, pad_to):
 
 
 @partial(jax.jit, static_argnames=("any_hit", "K", "G", "V", "max_iters",
-                                   "with_iters"))
+                                   "with_iters", "_stage"))
 def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                       any_hit: bool = False, K: int = DEFAULT_K,
                       G: int = DEFAULT_G, V: int = DEFAULT_V,
-                      max_iters: int = 4096, with_iters: bool = False):
+                      max_iters: int = 4096, with_iters: bool = False,
+                      _stage: int = 4):
     """Two-phase treelet traversal.
 
     top_t:   (128, S_top*128) transposed top table (traversal_pl.prep_table)
@@ -419,6 +420,8 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     vids = vis[0:K * V].reshape(K, V, B1).transpose(0, 2, 1).reshape(Np, V)
     vcnt = vis[K * V:].reshape(K, B1).reshape(Np)
     dropped = jnp.sum(jnp.maximum(vcnt - V, 0))
+    if _stage == 1:   # perf-debug: phase 1 only
+        return Hit(t=t0_[:N], tri=tri0[:N], u=u0[:N], v=v0[:N])
 
     # ---------------- sort visits by treelet ----------------
     S = Np * V
@@ -429,10 +432,19 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                          n_tt).reshape(S)
     root_flat = jnp.where(vid_valid, jnp.take(vid_map[:, 1], vid_c),
                           0).reshape(S)
+    if _stage == 11:   # perf-debug: visits -> tid/root only
+        force = 1e-30 * (jnp.sum(tid_flat.astype(jnp.float32))
+                         + jnp.sum(root_flat.astype(jnp.float32)))
+        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     order = jnp.argsort(tid_flat)
     tid_sorted = jnp.take(tid_flat, order)
     root_sorted = jnp.take(root_flat, order)
     ray_sorted = (order // V).astype(jnp.int32)
+    if _stage == 12:   # perf-debug: + sort
+        force = 1e-30 * (jnp.sum(tid_sorted.astype(jnp.float32))
+                         + jnp.sum(root_sorted.astype(jnp.float32))
+                         + jnp.sum(ray_sorted.astype(jnp.float32)))
+        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
 
     # NOTE on scatter flags: TPU scatters with arbitrary unflagged indices
     # lower to near-serial loops (measured 100ms-scale at these sizes);
@@ -467,30 +479,54 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     # flat visit index -> its slot (order is a permutation: unique indices)
     slot_of_flat = jnp.full(S, n_blocks * block, jnp.int32)
     slot_of_flat = slot_of_flat.at[order].set(dest, unique_indices=True)
+    if _stage == 13:   # perf-debug: + counts/dest/scatters
+        force = 1e-30 * (jnp.sum(slot_ray.astype(jnp.float32))
+                         + jnp.sum(slot_root.astype(jnp.float32))
+                         + jnp.sum(slot_of_flat.astype(jnp.float32))
+                         + jnp.sum(blk_tid.astype(jnp.float32)))
+        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
 
     # ---------------- phase 2: treelet blocks ----------------
-    # gather ray attributes COMPONENT-WISE: an (n_slots, 3) intermediate gets
-    # tiled to (8,128) on TPU — a 42x padding blow-up that OOMs HBM at
-    # production slot counts
-    rix = jnp.maximum(slot_ray, 0)
+    # Gather ray attributes COMPONENT-WISE — an (n_slots, 3) intermediate is
+    # tiled (8,128) on TPU, a 42x padding blow-up that OOMs HBM — and gather
+    # DIRECTLY INTO the kernel's blocked slot order: program i's rays block
+    # covers flat slots i*block + k*(G*128) + j, so permuting the small int32
+    # index arrays first avoids a 190MB 4-D transpose of the f32 attrs
+    # (measured ~650ms when XLA fuses that transpose over gather operands).
+    B2 = n_blocks * block // K
+
+    def blk_order(x):   # (n_blocks*block,) -> (K, B2) in kernel slot order
+        return x.reshape(n_blocks, K, G * LANES).transpose(1, 0, 2) \
+                .reshape(K, B2)
+
+    sray_b = blk_order(slot_ray)
+    rix = jnp.maximum(sray_b, 0)
+    root_b = blk_order(slot_root)
+    if _stage == 14:   # perf-debug: + blocked index permutes
+        force = 1e-30 * (jnp.sum(rix.astype(jnp.float32))
+                         + jnp.sum(root_b.astype(jnp.float32)))
+        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     comp = lambda a: jnp.take(a, rix)
     ox_, oy_, oz_ = comp(rays.o[:, 0]), comp(rays.o[:, 1]), comp(rays.o[:, 2])
     dx_, dy_, dz_ = comp(rays.d[:, 0]), comp(rays.d[:, 1]), comp(rays.d[:, 2])
+    if _stage == 15:   # perf-debug: + the six o/d gathers
+        force = 1e-30 * (jnp.sum(ox_) + jnp.sum(oy_) + jnp.sum(oz_)
+                         + jnp.sum(dx_) + jnp.sum(dy_) + jnp.sum(dz_))
+        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     eps = jnp.float32(1e-20)
     inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
                                     jnp.where(d >= 0, eps, -eps), d)
     stmin = comp(rays.tmin)
     # prune with the phase-1 result (t0_ <= tmax always)
-    stmax = jnp.where(slot_ray >= 0, comp(t0_), -1.0)
+    stmax = jnp.where(sray_b >= 0, comp(t0_), -1.0)
     attrs2 = jnp.stack([ox_, oy_, oz_, dx_, dy_, dz_,
                         inv(dx_), inv(dy_), inv(dz_),
-                        stmin, stmax, _f32(slot_root)], axis=0)
-    B2 = n_blocks * block // K
-    # program i's rays block is attrs2[:, :, i*G*128:(i+1)*G*128]: its K ray
-    # slots for lane j must ALL come from block i's contiguous slot range
-    # (they share one treelet), i.e. flat slot i*block + k*(G*128) + j
-    attrs2 = (attrs2.reshape(12, n_blocks, K, G * LANES)
-              .transpose(0, 2, 1, 3).reshape(12, K, B2))
+                        stmin, stmax, _f32(root_b)], axis=0)
+    if _stage == 2:   # perf-debug: phase 1 + glue, skip the treelet kernel
+        # tiny-epsilon sums keep the whole glue live against DCE
+        force = 1e-30 * (jnp.sum(attrs2) + jnp.sum(blk_tid.astype(jnp.float32))
+                         + jnp.sum(slot_of_flat.astype(jnp.float32)))
+        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     kern2 = partial(_treelet_kernel, n_slabs=t_rows // LANES,
                     treelet_rows=t_rows, any_hit=any_hit, K=K, G=G,
                     max_iters=max_iters)
@@ -512,20 +548,23 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         out_shape=jax.ShapeDtypeStruct((5, K, B2), jnp.float32),
         interpret=interpret,
     )(blk_tid, slabs_t, attrs2)
-    def unblk(x):  # invert the slot reordering above
-        return (x.reshape(K, n_blocks, G * LANES).transpose(1, 0, 2)
-                .reshape(n_blocks * block))
-    t2 = unblk(out2[0])
-    tri2 = _i32(unblk(out2[1]))
-    u2 = unblk(out2[2])
-    v2 = unblk(out2[3])
     it2 = jnp.sum(out2[4, 0].reshape(-1, G * LANES)[:, 0])
 
     # ---------------- reduce onto rays (gather-based) ----------------
     # each ray owns <=V visits; gather their per-slot hits back through
     # slot_of_flat and min-reduce over the V axis — no scatter-min over the
-    # slot array (TPU scatters with non-sorted indices are near-serial)
-    slot_rv = jnp.minimum(slot_of_flat, n_blocks * block - 1).reshape(Np, V)
+    # slot array (TPU scatters with non-sorted indices are near-serial), and
+    # no inverse transpose of the 78MB kernel output: convert the flat slot
+    # id to its blocked position instead (index arithmetic on (Np,V) ints)
+    s_f = slot_of_flat.reshape(Np, V)
+    i_b = s_f // block
+    r_in = s_f % block
+    pos = (r_in // (G * LANES)) * B2 + i_b * (G * LANES) + r_in % (G * LANES)
+    slot_rv = jnp.minimum(pos, K * B2 - 1)
+    t2 = out2[0].reshape(K * B2)
+    tri2 = _i32(out2[1]).reshape(K * B2)
+    u2 = out2[2].reshape(K * B2)
+    v2 = out2[3].reshape(K * B2)
     t_v = jnp.take(t2, slot_rv)
     tri_v = jnp.take(tri2, slot_rv)
     u_v = jnp.take(u2, slot_rv)
