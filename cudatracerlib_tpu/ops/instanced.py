@@ -33,6 +33,111 @@ def _transform_dir(m34: Array, d: Array) -> Array:
     return jnp.einsum("bij,bj->bi", m34[:, :, :3], d)
 
 
+def tlas_visits(table: Array, order: Array, rays: Rays, max_visits: int = 12):
+    """Traverse the 8-wide TLAS over instance AABBs (scene/bvh8.build_tlas8)
+    and emit each lane's instance visit list in approximate near-to-far
+    order. Leaf links carry the binary builder's -2-(first*16+count) codes
+    over `order` (leaf-contiguous instance ids). Returns (visits (V, B) i32
+    with -1 padding, counts (B,), dropped — visits past the budget, COUNTED,
+    never silent)."""
+    B = rays.o.shape[0]
+    V = max_visits
+    inv_d = _safe_inv_dir(rays.d)
+    ox, oy, oz = rays.o[:, 0], rays.o[:, 1], rays.o[:, 2]
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+    n_rows = table.shape[0]
+    inf = jnp.float32(jnp.inf)
+    bit8 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[:, None]
+    DONE, POP = -1, -0x40000000
+    STACK = 12
+
+    def body(state):
+        it, cur, sp, stack, visits, vcount = state
+        is_node = cur >= 0
+        row = jnp.take(table, jnp.clip(jnp.where(is_node, cur >> 8, 0),
+                                       0, n_rows - 1), axis=0)
+        rt = row.T
+        t0x = (rt[0:8] - ox) * ix
+        t1x = (rt[24:32] - ox) * ix
+        t0y = (rt[8:16] - oy) * iy
+        t1y = (rt[32:40] - oy) * iy
+        t0z = (rt[16:24] - oz) * iz
+        t1z = (rt[40:48] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), rays.tmin))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), rays.tmax))
+        links = jax.lax.bitcast_convert_type(rt[48:56], jnp.int32)
+        eligible = (tn <= tf) & (links != DONE) & ((cur & 0xFF) & bit8 != 0)
+        t_sel = jnp.where(eligible, tn, inf)
+        best_j = jnp.argmin(t_sel, axis=0).astype(jnp.int32)
+        has_child = jnp.isfinite(jnp.min(t_sel, axis=0))
+        oh8 = jnp.arange(8, dtype=jnp.int32)[:, None] == best_j
+        link_best = jnp.sum(jnp.where(oh8, links, 0), axis=0)
+        elig_bits = jnp.sum(jnp.where(eligible, bit8, 0), axis=0,
+                            dtype=jnp.int32)
+        remaining = elig_bits & ~(jnp.int32(1) << best_j)
+        descend = jnp.where(link_best >= 0, (link_best << 8) | 0xFF, link_best)
+        node_next = jnp.where(has_child, descend, POP)
+        push = is_node & has_child & (remaining != 0)
+        push_val = ((cur >> 8) << 8) | remaining
+
+        # leaf codes: emit up to `count` instances into the visit slots
+        is_leaf = cur <= -2
+        code = -2 - cur
+        first = code >> 4
+        count = code & 15
+        new_visits = list(visits)
+        for j in range(4):          # builder max_leaf <= 4 by construction
+            emit = is_leaf & (j < count)
+            inst_id = jnp.take(order, jnp.clip(first + j, 0,
+                                               order.shape[0] - 1))
+            pos = vcount + j
+            for s in range(V):
+                m = emit & (pos == s)
+                new_visits[s] = jnp.where(m, inst_id, new_visits[s])
+        vcount = jnp.where(is_leaf, jnp.minimum(vcount + count, 127), vcount)
+
+        nxt = jnp.where(is_node, node_next,
+                        jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
+        st2 = [jnp.where(push, push_val, stack[0])]
+        for k in range(1, STACK):
+            st2.append(jnp.where(push, stack[k - 1], stack[k]))
+        sp = sp + push.astype(jnp.int32)
+        want_pop = nxt == POP
+        can_pop = want_pop & (sp > 0)
+        popped = st2[0]
+        st3 = []
+        for k in range(STACK - 1):
+            st3.append(jnp.where(can_pop, st2[k + 1], st2[k]))
+        st3.append(st2[STACK - 1])
+        sp = jnp.where(can_pop, sp - 1, sp)
+        cur = jnp.where(want_pop, jnp.where(can_pop, popped, DONE), nxt)
+        return it + 1, cur, sp, tuple(st3), tuple(new_visits), vcount
+
+    def cond(state):
+        return (state[0] < 256) & jnp.any(state[1] != DONE)
+
+    init = (jnp.int32(0), jnp.zeros(B, jnp.int32) | 0xFF,
+            jnp.zeros(B, jnp.int32),
+            tuple(jnp.zeros(B, jnp.int32) for _ in range(STACK)),
+            tuple(jnp.full(B, -1, jnp.int32) for _ in range(V)),
+            jnp.zeros(B, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    visits = jnp.stack(out[4])                      # (V, B)
+    counts = out[5]
+    dropped = jnp.sum(jnp.maximum(counts - V, 0))
+    return visits, jnp.minimum(counts, V), dropped
+
+
+def _safe_inv_dir(d: Array) -> Array:
+    eps = 1e-12
+    safe = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
+    return 1.0 / safe
+
+
 def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                         any_hit: bool = False,
                         max_visits: int = MAX_VISITS) -> Hit:
@@ -40,11 +145,55 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
 
     Returns Hit with LOCAL triangle ids and the instance id in ``hit.inst``
     (shading resolves both via fill_dg's instanced branch).
+
+    Instance selection: for small instance counts a dense (B, I) slab scan
+    picks the next-nearest unvisited instance; when the scene carries a TLAS
+    (inst.tlas, built for larger counts), per-lane visit lists come from an
+    8-wide BVH traversal instead — O(log I) selection, budget max(8, ...)
+    visits with a dropped-visit counter instead of silent misses.
     """
     from . import traversal8
     inst = geom.inst
     B = rays.o.shape[0]
     I = inst.root.shape[0]
+
+    if inst.tlas is not None:
+        V = max(max_visits, 12)
+        visits, counts, dropped = tlas_visits(inst.tlas, inst.tlas_order,
+                                              rays, max_visits=V)
+        best = Hit(t=rays.tmax, tri=jnp.full(B, -1, jnp.int32),
+                   u=jnp.zeros(B), v=jnp.zeros(B),
+                   inst=jnp.full(B, -1, jnp.int32))
+        done = jnp.zeros(B, bool)
+        inv_d = _safe_inv_dir(rays.d)
+        for v in range(V):
+            k = jnp.maximum(visits[v], 0)
+            valid = (v < counts) & (visits[v] >= 0) & ~done
+            # recompute the entry t for closest-hit pruning
+            lo_k = jnp.take(inst.lo, k, axis=0)
+            hi_k = jnp.take(inst.hi, k, axis=0)
+            t0 = (lo_k - rays.o) * inv_d
+            t1 = (hi_k - rays.o) * inv_d
+            tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), rays.tmin)
+            tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), best.t)
+            active = valid & (tn <= tf)
+            w2l = jnp.take(inst.w2l, k, axis=0)
+            o_l = _transform_point(w2l, rays.o)
+            d_l = _transform_dir(w2l, rays.d)
+            roots = jnp.take(inst.root, k)
+            local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
+                         tmax=jnp.where(active, best.t, 0.0))
+            h = traversal8.intersect_scene(
+                geom._replace(inst=None), local, any_hit=any_hit, roots=roots)
+            better = active & h.valid & (h.t < best.t)
+            best = Hit(t=jnp.where(better, h.t, best.t),
+                       tri=jnp.where(better, h.tri, best.tri),
+                       u=jnp.where(better, h.u, best.u),
+                       v=jnp.where(better, h.v, best.v),
+                       inst=jnp.where(better, k, best.inst))
+            if any_hit:
+                done = done | (active & h.valid)
+        return best
 
     # ---- TLAS: slab-test every instance AABB (vectorized (B, I)) ----
     eps = 1e-12
@@ -63,7 +212,9 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
     visited = jnp.zeros((B, I), bool)
     done = jnp.zeros(B, bool)
 
-    for _ in range(min(max_visits, I)):
+    # dense path only runs for small I (TLAS above otherwise): visiting up
+    # to I instances means NO silent drops (advisor finding, round 2)
+    for _ in range(min(max(max_visits, I), I)):
         # nearest unvisited instance whose entry beats the current best hit
         t_sel = jnp.where(visited, jnp.inf, t_entry)
         k = jnp.argmin(t_sel, axis=-1).astype(jnp.int32)    # (B,)

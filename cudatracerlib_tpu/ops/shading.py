@@ -35,8 +35,11 @@ class SurfaceInteraction(NamedTuple):
     wi: Array       # (B, 3) unit direction toward the ray origin (world)
     flipped: Array  # (B,) bool: true if normals were flipped to face the ray
     uv_density: Array  # (B,) sqrt(uv area / world area) for ray-cone mip LOD
-    extra: Array    # (B,) barycentric-interpolated per-vertex extra data
-    #                 (reference DifferentialGeometry extraData / Texture.h:234)
+    # (B,) barycentric-interpolated per-vertex extra data, or None when the
+    # scene carries none (reference DifferentialGeometry extraData /
+    # Texture.h:234). Defaulted so callers building interactions by hand
+    # (tests, integrator shims) keep working.
+    extra: "Array | None" = None
 
     def frame(self) -> fr.Frame:
         return fr.Frame(self.frame_t, self.frame_s, self.ns)

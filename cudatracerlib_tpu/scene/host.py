@@ -200,8 +200,10 @@ class DynamicScene:
                 h["hi"][row] = pts.max(0)
                 det = abs(float(np.linalg.det(l2w[:3, :3])))
                 h["inv_scale"][row] = max(det, 1e-20) ** (-1.0 / 3.0)
+            self._add_tlas(h)
             inst = schema.InstanceTable(
-                **{k: jnp.asarray(v) for k, v in h.items()})
+                **{k: jnp.asarray(v) if v is not None else None
+                   for k, v in h.items()})
             w_lo = h["lo"].min(0)
             w_hi = h["hi"].max(0)
             corners4 = np.array([[x, y, z, 1.0] for x in (0, 1) for y in (0, 1)
@@ -321,6 +323,24 @@ class DynamicScene:
         self._sensor = sensor
 
     # -- build -------------------------------------------------------------
+    TLAS_MIN_INSTANCES = 32
+
+    @staticmethod
+    def _add_tlas(h: dict) -> None:
+        """Attach (or refresh) the 8-wide TLAS over instance AABBs for
+        instance-heavy scenes (reference SceneBVH; ops/instanced.tlas_visits
+        consumes it). Small counts keep the dense slab scan (tlas=None)."""
+        from . import bvh8 as bvh8mod
+        I = h["root"].shape[0]
+        if I < DynamicScene.TLAS_MIN_INSTANCES:
+            h["tlas"] = None
+            h["tlas_order"] = None
+            return
+        table, order = bvh8mod.build_tlas8(np.asarray(h["lo"], np.float32),
+                                           np.asarray(h["hi"], np.float32))
+        h["tlas"] = table
+        h["tlas_order"] = np.asarray(order, np.int32)
+
     def build(self, instancing: str = "auto") -> schema.SceneData:
         """instancing: "auto" builds a two-level TLAS/BLAS when a mesh is
         shared by >=2 non-emissive nodes (geometry stored once per unique
@@ -627,8 +647,10 @@ class DynamicScene:
             lo=np.stack(los).astype(np.float32),
             hi=np.stack(his).astype(np.float32),
             inv_scale=np.asarray(inv_scales, np.float32))
+        self._add_tlas(self._inst_host)
         inst = schema.InstanceTable(
-            **{k: jnp.asarray(v) for k, v in self._inst_host.items()})
+            **{k: jnp.asarray(v) if v is not None else None
+               for k, v in self._inst_host.items()})
         self._inst_local_aabbs = local_aabbs
         geom = geom._replace(inst=inst)
 

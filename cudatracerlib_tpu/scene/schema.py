@@ -89,6 +89,13 @@ class InstanceTable(NamedTuple):
     lo: Array         # (I, 3) world-space instance AABB
     hi: Array         # (I, 3)
     inv_scale: Array  # (I,) |det l2w_rot|^(1/3) — uv-density correction
+    # 8-wide fat-row BVH over instance AABBs (node rows only; leaf links
+    # keep the binary builder's -2-(first*16+count) codes over tlas_order).
+    # None for small instance counts, where the dense slab scan is cheaper
+    # than a second traversal. Reference: Engine/SceneBVH.h:18 (the 2-wide
+    # TLAS), rebuilt 8-wide for the VPU.
+    tlas: "Array | None" = None
+    tlas_order: "Array | None" = None   # (I,) i32 leaf-contiguous instance ids
 
 
 class GeometryTable(NamedTuple):
