@@ -68,7 +68,7 @@ def sharded_pt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx: Array
                              splat=film.splat + splat)
 
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
-    return run(scene, film, pixel_idx, jnp.int32(pass_idx))
+    return jax.jit(run)(scene, film, pixel_idx, jnp.int32(pass_idx))
 
 
 def sharded_lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
@@ -98,7 +98,7 @@ def sharded_lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                              weight=jnp.ones_like(film.weight))
 
     path_ids = jnp.arange(n_paths, dtype=jnp.int32)
-    return run(scene, film, path_ids, jnp.int32(pass_idx))
+    return jax.jit(run)(scene, film, path_ids, jnp.int32(pass_idx))
 
 
 def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
@@ -143,8 +143,8 @@ def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
 
     photon_ids = jnp.arange(n_photons, dtype=jnp.int32)
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
-    return run(scene, film, photon_ids, pixel_idx, jnp.int32(pass_idx),
-               jnp.float32(radius))
+    return jax.jit(run)(scene, film, photon_ids, pixel_idx, jnp.int32(pass_idx),
+                        jnp.float32(radius))
 
 
 def replicate_scene(scene: schema.SceneData, mesh: Mesh) -> schema.SceneData:
