@@ -410,10 +410,48 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
                                              with_iters=with_iters)
     if on_tpu and geom.tt_top is not None and roots is None:
         from . import traversal_tt
-        return traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
-                                              geom.tt_vid, rays,
-                                              any_hit=any_hit,
-                                              with_iters=with_iters)
+        res = traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
+                                             geom.tt_vid, rays,
+                                             any_hit=any_hit,
+                                             with_overflow=True,
+                                             with_iters=with_iters)
+        hit, ovf = res[0], res[1]
+        # EXACTNESS: rays whose treelet-visit list overflowed the V budget
+        # may have missed their closest hit. COMPACT them (variadic sort
+        # puts overflow rays first), re-traverse only a fixed small batch on
+        # the XLA single-table loop pruned to the treelet t, and scatter the
+        # wins back. With zero overflow every batch lane is dead (tmax=0)
+        # and the lockstep loop exits after one iteration — the fallback
+        # then costs only its (small) gather glue. Rays past the M budget
+        # keep the treelet hit; batch overflow would need >M/B of rays to
+        # overflow V=6 visits, which the visit stats make ~impossible.
+        B = rays.o.shape[0]
+        # bounce/shadow rays overflow far more than primaries (measured:
+        # ~5-10k of 131k random-bounce rays at V=6 on the 1.2M-tri scene),
+        # so the batch must hold ~an eighth of the wavefront
+        M = max(min(B, 1024), B // 8)
+        iota = jnp.arange(B, dtype=jnp.int32)
+        _, rid = jax.lax.sort((1 - ovf.astype(jnp.int32), iota), num_keys=1)
+        # re-sorting the selected ids makes the write-back scatters eligible
+        # for the sorted+unique fast path (arbitrary-index scatters are
+        # near-serial on TPU — measured ~12ms for 4x16k here)
+        rid_m = jnp.sort(rid[:M])
+        is_ovf_m = jnp.take(ovf, rid_m)
+        fb_rays = Rays(o=jnp.take(rays.o, rid_m, axis=0),
+                       d=jnp.take(rays.d, rid_m, axis=0),
+                       tmin=jnp.take(rays.tmin, rid_m),
+                       tmax=jnp.where(is_ovf_m, jnp.take(hit.t, rid_m), 0.0))
+        fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit)
+        # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
+        win = fb.valid & is_ovf_m
+        upd = lambda dst, src: dst.at[rid_m].set(
+            jnp.where(win, src, jnp.take(dst, rid_m)),
+            indices_are_sorted=True, unique_indices=True)
+        hit = Hit(t=upd(hit.t, fb.t), tri=upd(hit.tri, fb.tri),
+                  u=upd(hit.u, fb.u), v=upd(hit.v, fb.v))
+        if with_iters:
+            return hit, res[2], res[3]
+        return hit
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,

@@ -43,7 +43,10 @@ LANES = 128
 STACK_D = 16
 DEFAULT_K = 8
 DEFAULT_G = 4
-DEFAULT_V = 4           # treelet-visit budget per ray (overflow is counted)
+DEFAULT_K2 = 2          # phase-2 block = K2*G2*128 slots; smaller blocks cut
+DEFAULT_G2 = 2          # the per-treelet round-up padding (~T*block slots)
+DEFAULT_V = 6           # treelet-visit budget per ray (overflow is counted;
+#                         rays past the budget re-traverse on the XLA path)
 
 
 def _i32(x):
@@ -364,19 +367,26 @@ def _pack_attrs(o, d, tmin, tmax, roots, pad_to):
     return attrs
 
 
-@partial(jax.jit, static_argnames=("any_hit", "K", "G", "V", "max_iters",
-                                   "with_iters", "_stage"))
+@partial(jax.jit, static_argnames=("any_hit", "K", "G", "K2", "G2", "V",
+                                   "max_iters", "with_iters", "with_overflow",
+                                   "_stage"))
 def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                       any_hit: bool = False, K: int = DEFAULT_K,
-                      G: int = DEFAULT_G, V: int = DEFAULT_V,
+                      G: int = DEFAULT_G, K2: int = DEFAULT_K2,
+                      G2: int = DEFAULT_G2, V: int = DEFAULT_V,
                       max_iters: int = 4096, with_iters: bool = False,
-                      _stage: int = 4):
+                      with_overflow: bool = False, _stage: int = 4):
     """Two-phase treelet traversal.
 
     top_t:   (128, S_top*128) transposed top table (traversal_pl.prep_table)
     slabs_t: (n_treelets + 1, 128, treelet_rows) transposed treelet slabs;
              the LAST slab is the all-inert pad slab (row-0 links DONE).
     vid_map: (n_vids, 2) i32 — visit id -> (treelet id, local root row).
+
+    with_overflow: also return a per-ray bool marking rays whose visit list
+    overflowed the V budget — their hit may be incomplete and the caller
+    must re-traverse them (traversal8.intersect_scene does, on the XLA
+    persistent path, which costs ~nothing when the mask is empty).
     """
     n_top = top_t.shape[1]
     n_slabs_top = n_top // LANES
@@ -438,9 +448,13 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         force = 1e-30 * (jnp.sum(tid_flat.astype(jnp.float32))
                          + jnp.sum(root_flat.astype(jnp.float32)))
         return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-    order = jnp.argsort(tid_flat)
-    tid_sorted = jnp.take(tid_flat, order)
-    root_sorted = jnp.take(root_flat, order)
+    # ONE variadic sort carries the payloads through the sort network —
+    # argsort + three 524k-element take()s cost ~4ms EACH on TPU (the
+    # 1-D element-gather serial path); the variadic sort costs about as
+    # much as the keys-only sort (~2ms)
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    tid_sorted, root_sorted, order = jax.lax.sort(
+        (tid_flat, root_flat, iota_s), num_keys=1)
     ray_sorted = (order // V).astype(jnp.int32)
     if _stage == 12:   # perf-debug: + sort
         force = 1e-30 * (jnp.sum(tid_sorted.astype(jnp.float32))
@@ -448,27 +462,40 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                          + jnp.sum(ray_sorted.astype(jnp.float32)))
         return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
 
-    # NOTE on scatter flags: TPU scatters with arbitrary unflagged indices
-    # lower to near-serial loops (measured 100ms-scale at these sizes);
-    # `dest` below is strictly increasing and unique for valid entries, so
-    # every scatter here carries indices_are_sorted + unique_indices.
-    cnt = jax.ops.segment_sum(jnp.ones(S, jnp.int32), tid_sorted,
-                              num_segments=n_tt + 1, indices_are_sorted=True)
-    blocks_per = -(-cnt // block)
+    block2 = K2 * G2 * LANES
+    # per-treelet segment geometry WITHOUT (S,)-sized gathers: counts come
+    # from a T-sized searchsorted, and the per-element block-padding offset
+    # is broadcast by scattering T values at segment starts + a cummax
+    # (equal-valued duplicates at empty segments make the scatter safe)
+    T = n_tt + 1
+    seg_first = jnp.searchsorted(tid_sorted,
+                                 jnp.arange(T, dtype=jnp.int32),
+                                 side="left").astype(jnp.int32)
+    cnt = jnp.diff(jnp.append(seg_first, jnp.int32(S)))
+    blocks_per = -(-cnt // block2)
     blocks_per = blocks_per.at[n_tt].set(0)
     base_blk = jnp.cumsum(blocks_per) - blocks_per
-    start = jnp.cumsum(cnt) - cnt
-    rank = jnp.arange(S, dtype=jnp.int32) - jnp.take(start, tid_sorted)
-    n_blocks = S // block + n_tt + 1
-    dest = jnp.take(base_blk, tid_sorted) * block + rank
+    n_blocks = -(-S // block2) + n_tt + 1
+    # dest of sorted element i with tid t = base_blk[t]*block2 + (i -
+    # seg_first[t]) = i + pad_tid[t]; pad_tid is constant across empty runs
+    pad_tid = base_blk * block2 - seg_first
+    pad_scat = jnp.full(S, jnp.iinfo(jnp.int32).min, jnp.int32)
+    pad_scat = pad_scat.at[jnp.minimum(seg_first, S - 1)].max(pad_tid,
+                                                              mode="drop")
+    pad_elem = jax.lax.cummax(pad_scat)
+    dest = iota_s + pad_elem
     valid_v = tid_sorted < n_tt
-    dest = jnp.where(valid_v, dest, n_blocks * block)
+    dest = jnp.where(valid_v, dest, n_blocks * block2)
 
-    slot_ray = jnp.full(n_blocks * block, -1, jnp.int32)
+    # NOTE on scatter flags: TPU scatters with arbitrary unflagged indices
+    # lower to near-serial loops (measured 100ms-scale at these sizes);
+    # `dest` is strictly increasing and unique for valid entries, so the
+    # slot scatters carry indices_are_sorted + unique_indices.
+    slot_ray = jnp.full(n_blocks * block2, -1, jnp.int32)
     slot_ray = slot_ray.at[dest].set(ray_sorted, mode="drop",
                                      indices_are_sorted=True,
                                      unique_indices=True)
-    slot_root = jnp.zeros(n_blocks * block, jnp.int32)
+    slot_root = jnp.zeros(n_blocks * block2, jnp.int32)
     slot_root = slot_root.at[dest].set(root_sorted, mode="drop",
                                        indices_are_sorted=True,
                                        unique_indices=True)
@@ -478,9 +505,9 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     blk_tid = jnp.minimum(
         jnp.searchsorted(ends, jnp.arange(n_blocks, dtype=jnp.int32),
                          side="right"), n_tt).astype(jnp.int32)
-    # flat visit index -> its slot (order is a permutation: unique indices)
-    slot_of_flat = jnp.full(S, n_blocks * block, jnp.int32)
-    slot_of_flat = slot_of_flat.at[order].set(dest, unique_indices=True)
+    # flat visit index -> its slot: UNSORT via a second variadic sort keyed
+    # by the original index (an arbitrary-index scatter would be serial)
+    _, slot_of_flat = jax.lax.sort((order, dest), num_keys=1)
     if _stage == 13:   # perf-debug: + counts/dest/scatters
         force = 1e-30 * (jnp.sum(slot_ray.astype(jnp.float32))
                          + jnp.sum(slot_root.astype(jnp.float32))
@@ -495,11 +522,11 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     # covers flat slots i*block + k*(G*128) + j, so permuting the small int32
     # index arrays first avoids a 190MB 4-D transpose of the f32 attrs
     # (measured ~650ms when XLA fuses that transpose over gather operands).
-    B2 = n_blocks * block // K
+    B2 = n_blocks * block2 // K2
 
-    def blk_order(x):   # (n_blocks*block,) -> (K, B2) in kernel slot order
-        return x.reshape(n_blocks, K, G * LANES).transpose(1, 0, 2) \
-                .reshape(K, B2)
+    def blk_order(x):   # (n_blocks*block2,) -> (K2, B2) in kernel slot order
+        return x.reshape(n_blocks, K2, G2 * LANES).transpose(1, 0, 2) \
+                .reshape(K2, B2)
 
     sray_b = blk_order(slot_ray)
     rix = jnp.maximum(sray_b, 0)
@@ -535,7 +562,7 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                          + jnp.sum(slot_of_flat.astype(jnp.float32)))
         return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     kern2 = partial(_treelet_kernel, n_slabs=t_rows // LANES,
-                    treelet_rows=t_rows, any_hit=any_hit, K=K, G=G,
+                    treelet_rows=t_rows, any_hit=any_hit, K=K2, G=G2,
                     max_iters=max_iters)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -543,19 +570,19 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         in_specs=[
             pl.BlockSpec((1, 128, t_rows),
                          lambda i, tid_ref: (tid_ref[i], 0, 0)),
-            pl.BlockSpec((12, K, G * LANES),
+            pl.BlockSpec((12, K2, G2 * LANES),
                          lambda i, tid_ref: (0, 0, i)),
         ],
-        out_specs=pl.BlockSpec((5, K, G * LANES),
+        out_specs=pl.BlockSpec((5, K2, G2 * LANES),
                                lambda i, tid_ref: (0, 0, i)),
     )
     out2 = pl.pallas_call(
         kern2,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((5, K, B2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, K2, B2), jnp.float32),
         interpret=interpret,
     )(blk_tid, slabs_t, attrs2)
-    it2 = jnp.sum(out2[4, 0].reshape(-1, G * LANES)[:, 0])
+    it2 = jnp.sum(out2[4, 0].reshape(-1, G2 * LANES)[:, 0])
 
     # ---------------- reduce onto rays (gather-based) ----------------
     # each ray owns <=V visits; gather their per-slot hits back through
@@ -564,11 +591,12 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     # no inverse transpose of the 78MB kernel output: convert the flat slot
     # id to its blocked position instead (index arithmetic on (Np,V) ints)
     s_f = slot_of_flat.reshape(Np, V)
-    i_b = s_f // block
-    r_in = s_f % block
-    pos = (r_in // (G * LANES)) * B2 + i_b * (G * LANES) + r_in % (G * LANES)
-    slot_rv = jnp.minimum(pos, K * B2 - 1)
-    gv = jnp.take(out2[0:4].reshape(4, K * B2), slot_rv, axis=1)  # (4,Np,V)
+    i_b = s_f // block2
+    r_in = s_f % block2
+    pos = (r_in // (G2 * LANES)) * B2 + i_b * (G2 * LANES) \
+        + r_in % (G2 * LANES)
+    slot_rv = jnp.minimum(pos, K2 * B2 - 1)
+    gv = jnp.take(out2[0:4].reshape(4, K2 * B2), slot_rv, axis=1)  # (4,Np,V)
     t_v = gv[0]
     tri_v = _i32(gv[1])
     u_v = gv[2]
@@ -584,11 +612,15 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
               tri=jnp.where(better, pick(tri_v), tri0)[:N],
               u=jnp.where(better, pick(u_v), u0)[:N],
               v=jnp.where(better, pick(v_v), v0)[:N])
+    out = (hit,)
+    if with_overflow:
+        out = out + ((vcnt > V)[:N],)
     if with_iters:
         iters = it1 + it2
-        rows = iters * jnp.float32(G * LANES)
-        return hit, iters, rows
-    return hit
+        rows = (it1 * jnp.float32(G * LANES)
+                + it2 * jnp.float32(G2 * LANES))
+        out = out + (iters, rows)
+    return out if len(out) > 1 else hit
 
 
 # diagnostics hook: last-known dropped-visit count is folded into the hit
