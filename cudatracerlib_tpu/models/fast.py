@@ -34,7 +34,7 @@ class FastTracer(tracer.TracerBase):
 def _fast_pass(scene, film, pass_idx, w, h, mode):
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
-    hit = traversal8.intersect_scene(scene.geom, rays)
+    hit = traversal8.intersect_scene(scene.geom, rays, coherent=True)
     if mode == MODE_VISIBILITY:
         v = hit.valid.astype(jnp.float32)
     else:

@@ -39,7 +39,7 @@ def psf_pass(scene: schema.SceneData, film: filmmod.Film, prev_p, prev_ns,
     B = w * h
     pixel_idx = jnp.arange(B, dtype=jnp.int32)
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
-    hit = traversal8.intersect_scene(scene.geom, rays)
+    hit = traversal8.intersect_scene(scene.geom, rays, coherent=True)
     si = shading.fill_dg(scene.geom, rays, hit, flip_to_ray=False)
     alive = hit.valid
     ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)

@@ -55,7 +55,7 @@ class PrimTracer(tracer.TracerBase):
     def _debug_lane(self, pixel_idx):
         rays, px, py, state, wt = tracer.gen_camera_rays(
             self.scene, pixel_idx, 0, 0, self.width, self.height)
-        hit = traversal8.intersect_scene(self.scene.geom, rays)
+        hit = traversal8.intersect_scene(self.scene.geom, rays, coherent=True)
         si = shading.fill_dg(self.scene.geom, rays, hit)
         return dict(ray_o=rays.o, ray_d=rays.d, t=hit.t, tri=hit.tri,
                     p=si.p, ns=si.ns, uv=si.uv, mat=si.mat_id)
@@ -65,7 +65,7 @@ def _prim_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                draw_mode: int, w: int, h: int) -> filmmod.Film:
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
     rays, px, py, state, wt = tracer.gen_camera_rays(scene, pixel_idx, 0, pass_idx, w, h)
-    hit = traversal8.intersect_scene(scene.geom, rays)
+    hit = traversal8.intersect_scene(scene.geom, rays, coherent=True)
     si = shading.fill_dg(scene.geom, rays, hit)
     if draw_mode in D_ND_MODES:
         # continue through delta lobes to the first smooth vertex, tracking

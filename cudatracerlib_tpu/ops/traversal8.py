@@ -378,10 +378,14 @@ def pack_unified(bvh8_nodes, bvh8_leaves):
 
 
 DEFAULT_RAYS_PER_LANE = 16
+# test hook: exercise the treelet dispatch branch on the CPU backend
+# (kernels fall back to interpret mode there)
+FORCE_TREELET = False
 
 
 def intersect_scene(geom, rays: Rays, any_hit: bool = False,
-                    roots: Array = None, with_iters: bool = False):
+                    roots: Array = None, with_iters: bool = False,
+                    coherent: bool = False):
     """Production intersector over a GeometryTable (wide fat-row path).
 
     Dispatch (static, at trace time):
@@ -391,6 +395,12 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
       (ops/traversal_pl.py): ~5x the XLA path on Cornell-class scenes by
       keeping the whole state machine in vregs (no per-iteration dispatch
       or loop-state round trips).
+    - TPU + HBM-scale table + coherent=True -> two-phase treelet kernel
+      (ops/traversal_tt.py): beats the XLA loop on COHERENT wavefronts
+      (camera/primary rays: 27ms vs 31ms per 131k rays on the 1.2M-tri
+      stand-in), but loses on incoherent bounce rays whose treelet-visit
+      lists overflow the V budget (~5-10k/131k at V=6) and re-traverse on
+      the exact fallback. Callers mark primary-hit workloads coherent.
     - otherwise -> XLA gather loop with persistent lanes (K rays per lane,
       amortizing the lockstep worst-lane tail)."""
     import jax as _jax
@@ -408,11 +418,13 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
         return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
                                              roots=roots,
                                              with_iters=with_iters)
-    if on_tpu and geom.tt_top is not None and roots is None:
+    if ((on_tpu or FORCE_TREELET) and geom.tt_top is not None
+            and roots is None and coherent):
         from . import traversal_tt
         res = traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
                                              geom.tt_vid, rays,
                                              any_hit=any_hit,
+                                             V=traversal_tt.DEFAULT_V,
                                              with_overflow=True,
                                              with_iters=with_iters)
         hit, ovf = res[0], res[1]

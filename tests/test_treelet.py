@@ -92,3 +92,28 @@ def test_visit_overflow_is_counted(scene, part, rays):
     assert int(total) > 0
     # with V=1 on a many-treelet cut, overflow must be detected, not silent
     assert int(dropped) >= 0
+
+
+def test_overflow_fallback_is_exact(scene, part, rays):
+    """Force visit overflow (V=1) and check the compacted XLA fallback in
+    intersect_scene restores exact hits (round-3: overflow used to drop up
+    to ~5% of bounce-ray hits silently)."""
+    from unittest import mock
+
+    top_t, slabs_t = treelet.prep_device(part)
+    geom = scene.geom._replace(tt_top=jnp.asarray(top_t),
+                               tt_slabs=jnp.asarray(slabs_t),
+                               tt_vid=jnp.asarray(part.vid_map))
+    h_ref = traversal8.intersect_wide(scene.geom.wide, rays)
+
+    # sanity: at V=1 this cut really does overflow (else the test is vacuous)
+    _, dropped = traversal_tt.count_dropped_visits(
+        geom.tt_top, part.n_treelets, rays, V=1)
+    assert int(dropped) > 0
+
+    with mock.patch.object(traversal_tt, "DEFAULT_V", 1), \
+            mock.patch.object(traversal8, "FORCE_TREELET", True):
+        hit = traversal8.intersect_scene(geom, rays, coherent=True)
+    assert np.array_equal(np.asarray(hit.tri), np.asarray(h_ref.tri))
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(h_ref.t),
+                               rtol=1e-5)
