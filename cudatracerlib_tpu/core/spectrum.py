@@ -111,3 +111,127 @@ def blackbody(temperature_k: float, scale: float = 1.0) -> Array:
     p = (2 * h * c * c) / (lam ** 5) / (jnp.exp(h * c / (lam * kb * temperature_k)) - 1.0)
     p = p / jnp.max(p)
     return (p * scale).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Hero-wavelength spectral transport (reference Math/Spectrum.h:10-15: the
+# TSpectrum template is compile-switchable from RGB to N spectral samples,
+# with Mitsuba's conversion routines). The TPU redesign replaces the
+# compile-time binned class with HERO-WAVELENGTH sampling: each path carries
+# C stratified wavelengths, RGB scene parameters are upsampled to spectral
+# reflectance/emission on the fly (Smits 1999 basis), and the path's
+# spectral radiance resolves to XYZ->linear RGB at the film. Structurally a
+# (B, C) array instead of (B, 3) — same SIMD shape the rest of the
+# framework already vectorizes over.
+# ---------------------------------------------------------------------------
+
+SPECTRUM_MIN_WAVELENGTH = 380.0   # Smits basis support (nm)
+SPECTRUM_MAX_WAVELENGTH = 720.0
+
+# Smits (1999) "An RGB to Spectrum Conversion for Reflectances": 10 bins
+# over 380-720nm for the white/cyan/magenta/yellow/red/green/blue bases.
+_SMITS_BINS = 10
+_SMITS = {
+    "white":   [1.0000, 1.0000, 0.9999, 0.9993, 0.9992, 0.9998, 1.0000,
+                1.0000, 1.0000, 1.0000],
+    "cyan":    [0.9710, 0.9426, 1.0007, 1.0007, 1.0007, 1.0007, 0.1564,
+                0.0000, 0.0000, 0.0000],
+    "magenta": [1.0000, 1.0000, 0.9685, 0.2229, 0.0000, 0.0458, 0.8369,
+                1.0000, 1.0000, 0.9959],
+    "yellow":  [0.0001, 0.0000, 0.1088, 0.6651, 1.0000, 1.0000, 0.9996,
+                0.9586, 0.9685, 0.9840],
+    "red":     [0.1012, 0.0515, 0.0000, 0.0000, 0.0000, 0.0000, 0.8325,
+                1.0149, 1.0149, 1.0149],
+    "green":   [0.0000, 0.0000, 0.0273, 0.7937, 1.0000, 0.9418, 0.1719,
+                0.0000, 0.0000, 0.0025],
+    "blue":    [1.0000, 1.0000, 0.8916, 0.3323, 0.0000, 0.0000, 0.0003,
+                0.0369, 0.0483, 0.0496],
+}
+
+
+def _smits_tables() -> Array:
+    import numpy as np
+    return jnp.asarray(np.stack([_SMITS[k] for k in
+                                 ("white", "cyan", "magenta", "yellow",
+                                  "red", "green", "blue")]), jnp.float32)
+
+
+def sample_hero_wavelengths(u: Array, n: int = 4):
+    """(B,) uniform -> ((B, n) wavelengths nm, scalar pdf per wavelength).
+
+    Hero lambda uniform over the visible range; companions rotated by
+    range/n (stratified, wrap-around) so one path carries n spectral
+    samples."""
+    span = SPECTRUM_MAX_WAVELENGTH - SPECTRUM_MIN_WAVELENGTH
+    hero = SPECTRUM_MIN_WAVELENGTH + u * span
+    offs = jnp.arange(n, dtype=jnp.float32) * (span / n)
+    lam = SPECTRUM_MIN_WAVELENGTH + (hero[..., None] + offs[None, :]
+                                     - SPECTRUM_MIN_WAVELENGTH) % span
+    return lam, 1.0 / span
+
+
+def rgb_to_spectral(rgb: Array, lam: Array) -> Array:
+    """Smits upsampling: (B, 3) linear-RGB reflectance -> (B, C) spectral
+    reflectance at wavelengths lam (B, C) nm. Piecewise-constant basis."""
+    t = _smits_tables()                                   # (7, 10)
+    span = SPECTRUM_MAX_WAVELENGTH - SPECTRUM_MIN_WAVELENGTH
+    bin_i = jnp.clip(((lam - SPECTRUM_MIN_WAVELENGTH) / span
+                      * _SMITS_BINS).astype(jnp.int32), 0, _SMITS_BINS - 1)
+    basis = jnp.take(t.T, bin_i, axis=0)                  # (B, C, 7)
+    w_b, c_b, m_b, y_b, r_b, g_b, b_b = [basis[..., i] for i in range(7)]
+    r, g, b = rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3]
+    # Smits' decomposition: white + secondary + primary, per min-ordering
+    def branch(lo, mid, hi, sec, prim):
+        return lo * w_b + (mid - lo) * sec + (hi - mid) * prim
+    rg_le_b = None  # readability only; branches below
+    out_r_min = jnp.where(g <= b, branch(r, g, b, c_b, b_b),
+                          branch(r, b, g, c_b, g_b))
+    out_g_min = jnp.where(r <= b, branch(g, r, b, m_b, b_b),
+                          branch(g, b, r, m_b, r_b))
+    out_b_min = jnp.where(r <= g, branch(b, r, g, y_b, g_b),
+                          branch(b, g, r, y_b, r_b))
+    r_min = (r <= g) & (r <= b)
+    g_min = (g <= r) & (g <= b) & ~r_min
+    out = jnp.where(r_min, out_r_min, jnp.where(g_min, out_g_min, out_b_min))
+    return jnp.maximum(out, 0.0)
+
+
+def _cmf_gauss(x, mu, s1, s2):
+    s = jnp.where(x < mu, s1, s2)
+    return jnp.exp(-0.5 * ((x - mu) / s) ** 2)
+
+
+def cie_xyz_cmf(lam: Array) -> Array:
+    """CIE 1931 color matching functions at lam (nm) -> (..., 3).
+
+    Wyman, Sloan & Shirley 2013 multi-lobe Gaussian fit ("Simple Analytic
+    Approximations to the CIE XYZ Color Matching Functions")."""
+    x = (1.056 * _cmf_gauss(lam, 599.8, 37.9, 31.0)
+         + 0.362 * _cmf_gauss(lam, 442.0, 16.0, 26.7)
+         - 0.065 * _cmf_gauss(lam, 501.1, 20.4, 26.2))
+    y = (0.821 * _cmf_gauss(lam, 568.8, 46.9, 40.5)
+         + 0.286 * _cmf_gauss(lam, 530.9, 16.3, 31.1))
+    z = (1.217 * _cmf_gauss(lam, 437.0, 11.8, 36.0)
+         + 0.681 * _cmf_gauss(lam, 459.0, 26.0, 13.8))
+    return jnp.stack([x, y, z], axis=-1)
+
+
+# integral of ybar over the visible range (normalization so a spectrally
+# flat unit radiance resolves to luminance ~1 / RGB ~white)
+_CMF_Y_INTEGRAL = 106.857
+
+
+# the Smits white basis resolves to equal-energy (E) white XYZ ~ (1,1,1);
+# the sRGB matrix expects D65 — diagonal (von Kries in XYZ) adaptation so
+# RGB-white scene parameters round-trip to white
+_E_TO_D65 = jnp.asarray([0.95047, 1.0, 1.08883], jnp.float32)
+
+
+def spectral_to_rgb(L: Array, lam: Array, inv_pdf: Array | float) -> Array:
+    """Monte-Carlo resolve of per-path spectral radiance to linear RGB.
+
+    L (B, C) radiance at lam (B, C) nm sampled with density 1/inv_pdf:
+    XYZ_j = mean_c L_c * cmf_j(lam_c) * inv_pdf / integral(ybar)."""
+    cmf = cie_xyz_cmf(lam)                                # (B, C, 3)
+    xyz = jnp.mean(L[..., None] * cmf, axis=-2) * inv_pdf / _CMF_Y_INTEGRAL
+    return xyz_to_rgb(xyz * _E_TO_D65)

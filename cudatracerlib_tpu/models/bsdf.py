@@ -1063,10 +1063,17 @@ def apply_parallax(scene: schema.SceneData, si, n_steps: int = 8,
                    n_refine: int = 4):
     """Parallax-occlusion mapping (reference Material.cu:45-110): march the
     height field along the tangent-space view ray to find the offset UV the
-    viewer actually sees. Materials opt in with parallax scale in params[23];
-    the height comes from the bump texture (slot 3). Linear search over
-    n_steps layers followed by bisection refinement — the fixed-iteration
-    equivalent of the reference's relaxed cone stepping."""
+    viewer actually sees. Materials opt in with parallax scale in params[24];
+    the height comes from the bump texture (slot 3).
+
+    When the scene carries cone-step maps (scene/conemap.py, built for every
+    parallax height map; reference relaxed cone maps, Engine/MIPMap.cu:404),
+    the march CONE-STEPS: each iteration advances to the boundary of the
+    conservative cone at the current texel, converging geometrically onto
+    the first intersection with no possibility of overshooting — far tighter
+    than the uniform linear search at the same fixed iteration count.
+    Scenes without cone maps (hand-built tables) keep the linear+bisection
+    search."""
     mid = jnp.maximum(si.mat_id, 0)
     tex_ids = jnp.take(scene.materials.tex, mid, axis=0)
     bump_id = tex_ids[:, 3]
@@ -1082,7 +1089,46 @@ def apply_parallax(scene: schema.SceneData, si, n_steps: int = 8,
     def height(uv):
         return texmod.eval_texture(scene.textures, bump_id, uv, zero3)[:, 0]
 
-    # linear search from the surface down
+    tex = scene.textures
+    if tex.img_cone is not None:
+        # ---- cone-step march ----
+        bid = jnp.maximum(bump_id, 0)
+        timg = jnp.maximum(jnp.take(tex.image_id, bid), 0)
+        cone_off = jnp.take(tex.img_cone, timg)
+        w0 = jnp.take(tex.img_w[:, 0], timg)
+        h0 = jnp.take(tex.img_h[:, 0], timg)
+        tp = jnp.take(tex.params, bid, axis=0)
+
+        def cone(uv):
+            # same uv mapping + v flip as the image fetch (ops/texture.py)
+            u_ = uv[:, 0] * tp[:, 6] + tp[:, 8]
+            v_ = uv[:, 1] * tp[:, 7] + tp[:, 9]
+            xi = jnp.floor((u_ % 1.0) * w0.astype(jnp.float32)) \
+                .astype(jnp.int32) % w0
+            yi = jnp.floor(((1.0 - v_ % 1.0) % 1.0)
+                           * h0.astype(jnp.float32)).astype(jnp.int32) % h0
+            c = jnp.take(tex.texels[:, 0],
+                         jnp.maximum(cone_off, 0) + yi * w0 + xi)
+            # no cone map (shouldn't happen for host-built parallax
+            # textures): a huge ratio degenerates to secant iteration
+            return jnp.where(cone_off >= 0, c, 1e3)
+
+        # ray-slope magnitude in MAPPED uv units (cone ratios live there)
+        smag = jnp.sqrt((slope[:, 0] * tp[:, 6]) ** 2
+                        + (slope[:, 1] * tp[:, 7]) ** 2) + 1e-9
+        d = jnp.zeros_like(vz)
+        for _ in range(n_steps + n_refine):
+            uv_k = si.uv - slope * d[..., None]
+            dep = 1.0 - height(uv_k)
+            c = cone(uv_k)
+            # advance to where the ray exits the conservative cone opened
+            # at (uv_k, dep): |slope|*dd = c*(dep - (d+dd))
+            step = c * jnp.maximum(dep - d, 0.0) / (smag + c)
+            d = jnp.minimum(d + step, 1.0)
+        uv_new = si.uv - slope * d[..., None]
+        return si._replace(uv=jnp.where(active[..., None], uv_new, si.uv))
+
+    # ---- linear search from the surface down + bisection refinement ----
     d_lo = jnp.zeros_like(vz)                   # last depth ABOVE the surface
     d_hi = jnp.ones_like(vz)                    # first depth BELOW
     found = jnp.zeros_like(active)

@@ -41,21 +41,41 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 with_bssrdf: bool = False, regularize: bool = False,
                 regularize_alpha: float = 0.08, with_textures: bool = True,
                 return_rays: bool = False, sampler_type: int = 0,
-                pixel_idx: Array = None, sample_idx=0):
+                pixel_idx: Array = None, sample_idx=0, spectral: int = 0):
     """Estimate radiance along each lane's camera ray. Returns (L, state).
 
     with_media toggles participating-media handling (medium distance sampling
     per segment, phase-function scattering, transmittance on shadow rays); it
     defaults to whether the scene carries any volumes, and is static so
     media-free scenes compile none of it.
+
+    spectral > 0 switches the transport to HERO-WAVELENGTH spectral
+    rendering with that many stratified wavelengths per path (reference
+    Math/Spectrum.h:10-15's compile-switchable N-sample TSpectrum, redesigned
+    as per-path wavelength sampling): RGB scene colors are upsampled to
+    spectral reflectance on the fly (Smits basis, core/spectrum.py) and the
+    path's spectral radiance resolves to XYZ -> linear RGB on return. BSDF
+    importance sampling stays in RGB (its dielectric dispersion keeps the
+    channel-roulette model); the spectral gain is correct spectral
+    multiplication of upsampled reflectances (metamer-aware) rather than
+    per-lobe lambda-dependent sampling.
     """
     B = rays.o.shape[0]
     geom = scene.geom
     if with_media is None:
         with_media = mediummod.has_media(scene.media)
 
-    L = jnp.zeros((B, 3))
-    beta = jnp.ones((B, 3))
+    C = int(spectral)
+    if C:
+        from ..core import spectrum as specmod
+        state, u_lam = rngmod.next_float(state)
+        lam, _ = specmod.sample_hero_wavelengths(u_lam, C)   # (B, C)
+        up = lambda c3: specmod.rgb_to_spectral(c3, lam)
+    else:
+        up = lambda c3: c3
+
+    L = jnp.zeros((B, C or 3))
+    beta = jnp.ones((B, C or 3))
     active = jnp.ones(B, bool)
     # ray-cone angular width: one pixel of the sensor (grows linearly with t;
     # widening at rough bounces lands with ray differentials)
@@ -107,8 +127,9 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 pdf_sc, 1e-20)[:, None]
             w_th = jnp.exp(-sig_tb * t_exit[:, None]) / jnp.maximum(
                 jnp.exp(-sbar * t_exit), 1e-20)[:, None]
-            beta = jnp.where(bss_scatter[:, None], beta * w_sc,
-                             jnp.where(bss_through[:, None], beta * w_th, beta))
+            beta = jnp.where(bss_scatter[:, None], beta * up(w_sc),
+                             jnp.where(bss_through[:, None],
+                                       beta * up(w_th), beta))
             bss_p = cur.o + cur.d * t_s[:, None]
         else:
             bss_scatter = jnp.zeros(B, bool)
@@ -118,7 +139,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             t_seg = jnp.where(hit.valid, hit.t * 0.999, 1e7)
             ms, state = mediummod.sample_distance(scene.media, cur.o, cur.d,
                                                   t_seg, state, active)
-            beta = beta * ms.weight
+            beta = beta * up(ms.weight)
             med_event = ms.valid
         else:
             med_event = jnp.zeros(B, bool)
@@ -134,7 +155,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             w_env = jnp.where(prev_delta, 1.0, mis.power_heuristic(prev_pdf, pdf_env))
         else:
             w_env = jnp.ones(B)
-        L = L + jnp.where(miss[:, None], beta * env_le * w_env[:, None], 0.0)
+        L = L + jnp.where(miss[:, None],
+                          beta * up(env_le) * w_env[:, None], 0.0)
 
         # keep true geometric orientation: dielectrics need the signed side,
         # and two-sided opaque materials are mirrored inside the BSDF layer
@@ -160,7 +182,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             w_hit = jnp.where(prev_delta, 1.0, mis.power_heuristic(prev_pdf, pdf_l))
         else:
             w_hit = jnp.ones(B)
-        L = L + jnp.where(hit_l[:, None], beta * le * w_hit[:, None], 0.0)
+        L = L + jnp.where(hit_l[:, None], beta * up(le) * w_hit[:, None], 0.0)
 
         # --- surface shading setup ---
         footprint = cone * hit.t * si.uv_density
@@ -225,12 +247,13 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             niters = niters + it2
             nrows = nrows + rw2
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
-            contrib = beta * f_nee * ed.radiance_over_pdf * w_nee[:, None]
+            contrib = (beta * up(f_nee * ed.radiance_over_pdf)
+                       * w_nee[:, None])
             if with_media:
                 Tr, state = mediummod.transmittance(scene.media, shadow_o, ed.d,
                                                     ed.dist * 0.999, state,
                                                     do_shadow & ~occluded)
-                contrib = contrib * Tr
+                contrib = contrib * up(Tr)
             L = L + jnp.where((nee_active & ~occluded)[:, None], contrib, 0.0)
 
         # --- continue the path: BSDF sample (surface) / phase sample (medium) ---
@@ -286,7 +309,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             entering = toggle & ~ins_med
             ins_mat = jnp.where(entering, si.mat_id, ins_mat)
             ins_med = jnp.where(toggle, ~ins_med, ins_med)
-        beta_next = beta * weight
+        beta_next = beta * up(weight)
         cont = hit_l | med_event | alpha_pass | bss_scatter
         alive = cont & (jnp.max(jnp.abs(weight), axis=-1) > 0) & (depth + 1 < max_depth)
 
@@ -310,9 +333,14 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
              jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    L_out = carry[0]
+    if C:
+        span = (specmod.SPECTRUM_MAX_WAVELENGTH
+                - specmod.SPECTRUM_MIN_WAVELENGTH)
+        L_out = specmod.spectral_to_rgb(L_out, lam, span)
     if return_rays:
-        return carry[0], carry[6], carry[8], carry[9], carry[10]
-    return carry[0], carry[6]
+        return L_out, carry[6], carry[8], carry[9], carry[10]
+    return L_out, carry[6]
 
 
 class PathTracer(tracer.TracerBase):
@@ -322,7 +350,7 @@ class PathTracer(tracer.TracerBase):
                  rr_depth: int = 3, use_nee: bool = True, regularize: bool = False,
                  spp_per_pass: int = 1, chunk_size: int = 1 << 17, seed: int = 0,
                  active_types: Optional[Sequence[int]] = None,
-                 sampler_type: int = 0):
+                 sampler_type: int = 0, spectral: int = 0):
         super().__init__(scene, width, height, spp_per_pass=spp_per_pass, seed=seed)
         self.max_depth = max_depth
         if active_types is None:
@@ -349,7 +377,7 @@ class PathTracer(tracer.TracerBase):
             with_alpha=self.with_alpha, with_bump=self.with_bump,
             with_parallax=self.with_parallax, with_bssrdf=self.with_bssrdf,
             regularize=regularize, with_textures=self.with_textures,
-            sampler_type=sampler_type))
+            sampler_type=sampler_type, spectral=spectral))
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
@@ -389,7 +417,8 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
               with_bump: bool = False, with_parallax: bool = False,
               with_bssrdf: bool = False, regularize: bool = False,
-              with_textures: bool = True, sampler_type: int = 0) -> filmmod.Film:
+              with_textures: bool = True, sampler_type: int = 0,
+              spectral: int = 0) -> filmmod.Film:
     base = (chunk_idx * chunk) % (w * h)
     pixel_idx = (base + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
     nrays = jnp.float32(0.0)
@@ -409,7 +438,7 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
             regularize=regularize,
             with_textures=with_textures,
             return_rays=True, sampler_type=sampler_type,
-            pixel_idx=pixel_idx, sample_idx=sample_idx)
+            pixel_idx=pixel_idx, sample_idx=sample_idx, spectral=spectral)
         nrays = nrays + nr
         niters = niters + ni
         nrows = nrows + nw

@@ -716,11 +716,20 @@ class DynamicScene:
             if t.image is not None:
                 images.append(np.asarray(t.image, np.float32))
                 image_id[i] = len(images) - 1
+        # images needing a cone-step map: height maps (bump slot 3) of
+        # parallax-enabled materials (scene/conemap.py)
+        cone_imgs = set()
+        for m in self._materials:
+            if float(m["params"][24]) > 0:
+                ti = int(m["tex"][3])
+                if 0 <= ti < X and image_id[ti] >= 0:
+                    cone_imgs.add(int(image_id[ti]))
         MAX_MIPS = 12
         if images:
             offs, ws, hs, nmips, pool = [], [], [], [], []
+            cone_offs = []
             cursor = 0
-            for img in images:
+            for img_i, img in enumerate(images):
                 # full mip chain by 2x2 box downsampling (reference MIPMap)
                 levels = [img]
                 while min(levels[-1].shape[0], levels[-1].shape[1]) > 1 \
@@ -746,22 +755,33 @@ class DynamicScene:
                     h_row[li] = h_row[len(levels) - 1]
                 offs.append(o_row); ws.append(w_row); hs.append(h_row)
                 nmips.append(len(levels))
+                if img_i in cone_imgs:
+                    from . import conemap
+                    cone = conemap.build_cone_map(img.mean(-1))
+                    pool.append(np.repeat(cone.reshape(-1, 1), 3, axis=1))
+                    cone_offs.append(cursor)
+                    cursor += cone.size
+                else:
+                    cone_offs.append(-1)
             texels = np.concatenate(pool)
             img_offset = np.stack(offs)
             img_w = np.stack(ws)
             img_h = np.stack(hs)
             img_nmips = np.asarray(nmips, np.int32)
+            img_cone = np.asarray(cone_offs, np.int32)
         else:
             texels = np.zeros((1, 3), np.float32)
             img_offset = np.zeros((1, MAX_MIPS), np.int32)
             img_w = np.ones((1, MAX_MIPS), np.int32)
             img_h = np.ones((1, MAX_MIPS), np.int32)
             img_nmips = np.ones(1, np.int32)
+            img_cone = np.full(1, -1, np.int32)
         return schema.TextureTable(
             tex_type=jnp.asarray(tex_type), params=jnp.asarray(params),
             image_id=jnp.asarray(image_id), img_offset=jnp.asarray(img_offset),
             img_w=jnp.asarray(img_w), img_h=jnp.asarray(img_h),
-            img_nmips=jnp.asarray(img_nmips), texels=jnp.asarray(texels))
+            img_nmips=jnp.asarray(img_nmips), texels=jnp.asarray(texels),
+            img_cone=jnp.asarray(img_cone))
 
     def _build_lights(self, area_lights, v0, v1, v2, b: bvhmod.BVH) -> schema.LightTable:
         world_radius = 0.5 * float(np.linalg.norm(b.world_hi - b.world_lo)) + 1e-3

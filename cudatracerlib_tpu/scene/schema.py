@@ -202,6 +202,12 @@ class TextureTable(NamedTuple):
     img_h: Array       # (I, MAX_MIPS) i32
     img_nmips: Array   # (I,) i32
     texels: Array      # (P, 3) f32 linear RGB texel pool
+    # (I,) i32 texel-pool offset of the image's CONE-STEP map (level-0
+    # resolution, ratio in channel 0), -1 when absent. Built for
+    # parallax-enabled height maps (reference relaxed cone maps,
+    # Engine/MIPMap.h:32 / MIPMap.cu:404-460 — the conservative variant,
+    # precomputed at build instead of an offline file tool).
+    img_cone: Array = None
 
 
 class LightTable(NamedTuple):

@@ -244,3 +244,79 @@ def test_parallax_occlusion_shift():
     got = float(np.asarray(si.uv[0, 0] - out.uv[0, 0]))
     np.testing.assert_allclose(got, expect, rtol=0.2)
     assert abs(float(np.asarray(out.uv[0, 1] - si.uv[0, 1]))) < 1e-4
+
+
+def test_cone_step_parallax_matches_dense_march():
+    """Cone-step POM (scene/conemap.py; reference relaxed cone maps,
+    Engine/MIPMap.cu:404) against a dense 256-step linear march on a bumpy
+    height field: the conservative cone map must land on the same first
+    intersection, and never overshoot it."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cudatracerlib_tpu.models import bsdf as bsdfmod
+    from cudatracerlib_tpu.ops import shading
+    from cudatracerlib_tpu.scene import conemap, host, schema, sensors, shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+
+    rng = np.random.default_rng(3)
+    H = W = 32
+    yy, xx = np.meshgrid(np.linspace(0, 2 * np.pi, H, endpoint=False),
+                         np.linspace(0, 2 * np.pi, W, endpoint=False),
+                         indexing="ij")
+    hm = (0.5 + 0.25 * np.sin(2 * xx) * np.cos(3 * yy)).astype(np.float32)
+    img = np.repeat(hm[..., None], 3, axis=-1)
+
+    sc = host.DynamicScene()
+    sc.add_material(host.MaterialSpec(
+        reflectance=(1, 1, 1),
+        tex_bump=host.TextureSpec(tex_type=schema.TEX_IMAGE, image=img),
+        parallax_scale=0.15))
+    sc.create_node(shapes.rectangle(), 0)
+    sc.set_sensor(sensors.make_sensor(schema.SENSOR_PERSPECTIVE,
+                                      tf.look_at([0, 0, -3], [0, 0, 0]),
+                                      film_w=4, film_h=4))
+    scene = sc.build()
+    assert scene.textures.img_cone is not None
+    assert int(np.asarray(scene.textures.img_cone).max()) >= 0
+
+    B = 64
+    ang = np.linspace(0, 2 * np.pi, B, endpoint=False)
+    wi = np.stack([0.55 * np.cos(ang), 0.55 * np.sin(ang),
+                   np.full(B, 0.835)], -1)
+    wi = (wi / np.linalg.norm(wi, axis=1, keepdims=True)).astype(np.float32)
+    uv0 = rng.random((B, 2)).astype(np.float32)
+    si = shading.SurfaceInteraction(
+        valid=jnp.ones(B, bool), p=jnp.zeros((B, 3)), t=jnp.ones(B),
+        ng=jnp.tile(jnp.asarray([[0., 0., 1.]]), (B, 1)),
+        ns=jnp.tile(jnp.asarray([[0., 0., 1.]]), (B, 1)),
+        uv=jnp.asarray(uv0),
+        frame_t=jnp.tile(jnp.asarray([[1., 0., 0.]]), (B, 1)),
+        frame_s=jnp.tile(jnp.asarray([[0., 1., 0.]]), (B, 1)),
+        bary=jnp.zeros((B, 2)), mat_id=jnp.zeros(B, jnp.int32),
+        light_id=jnp.full(B, -1, jnp.int32), tri=jnp.zeros(B, jnp.int32),
+        wi=jnp.asarray(wi), flipped=jnp.zeros(B, bool),
+        uv_density=jnp.ones(B))
+
+    out = bsdfmod.apply_parallax(scene, si, n_steps=8, n_refine=8)
+    d_cone = np.linalg.norm(np.asarray(out.uv) - uv0, axis=1)
+
+    # dense reference march (256 uniform steps + exact bracketing)
+    from cudatracerlib_tpu.ops import texture as texmod
+    slope = wi[:, :2] / wi[:, 2:3] * 0.15
+    bump_id = jnp.zeros(B, jnp.int32)
+    zero3 = jnp.zeros((B, 3))
+    d_ref = np.ones(B, np.float32)
+    found = np.zeros(B, bool)
+    for k in range(1, 257):
+        d = k / 256.0
+        uv_k = jnp.asarray(uv0) - jnp.asarray(slope) * d
+        hgt = np.asarray(texmod.eval_texture(scene.textures, bump_id,
+                                             uv_k, zero3)[:, 0])
+        below = d >= 1.0 - hgt
+        d_ref = np.where(below & ~found, d, d_ref)
+        found |= below
+    d_exp = d_ref * np.linalg.norm(slope, axis=1)
+    # same first intersection within a coarse-march tolerance, and the
+    # conservative map must never land PAST it
+    np.testing.assert_allclose(d_cone, d_exp, atol=0.01)
+    assert (d_cone <= d_exp + 0.005).all()
