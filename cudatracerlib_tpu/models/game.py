@@ -68,10 +68,12 @@ def psf_pass(scene: schema.SceneData, film: filmmod.Film, prev_p, prev_ns,
     r_lane = jnp.clip(4.0 * cone * hit.t, radius / 16.0, radius)
 
     def accum(carry, prows, mask):
+        # K-axis vectorized over the batched neighborhood (B, K, W)
         acc, cnt = carry
-        ok = mask & (vm.dot(prows[:, 6:9], si.ns) > 0.8)
-        return (acc + jnp.where(ok[:, None], prows[:, 3:6], 0.0),
-                cnt + ok.astype(jnp.float32))
+        ok = mask & (jnp.sum(prows[..., 6:9] * si.ns[:, None, :], -1) > 0.8)
+        return (acc + jnp.sum(jnp.where(ok[..., None], prows[..., 3:6], 0.0),
+                              axis=1),
+                cnt + jnp.sum(ok.astype(jnp.float32), axis=1))
 
     acc, cnt = hashgrid.gather_neighbors(grid, si.p, r_lane, accum,
                                          (jnp.zeros((B, 3)), jnp.zeros(B)))

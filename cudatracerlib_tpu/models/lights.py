@@ -157,7 +157,10 @@ def eval_environment(scene: schema.SceneData, d: Array) -> Array:
 
 
 def _env_pdf_dir(scene: schema.SceneData, d: Array) -> Array:
-    """Solid-angle pdf of env importance sampling for direction d."""
+    """Solid-angle pdf of env importance sampling for direction d.
+
+    One pmf gather (scene/alias.py tables) — the reference reconstructs it
+    from its row/column CDFs, which on TPU costs (B, We)-row gathers."""
     lights = scene.lights
     if not has_env_static(lights):
         return jnp.zeros(d.shape[:-1])
@@ -165,18 +168,24 @@ def _env_pdf_dir(scene: schema.SceneData, d: Array) -> Array:
     u, v = _env_uv_from_direction(lights, d)
     x = jnp.clip((u * We).astype(jnp.int32), 0, We - 1)
     y = jnp.clip((v * He).astype(jnp.int32), 0, He - 1)
-    # reconstruct per-pixel probability from the inclusive CDFs
-    row_cdf = lights.env_cdf_rows
-    p_row = jnp.take(row_cdf, y) - jnp.where(y > 0, jnp.take(row_cdf, jnp.maximum(y - 1, 0)), 0.0)
-    col_cdf_row = lights.env_cdf_cols[y]
-    xc = jnp.take_along_axis(col_cdf_row, x[..., None], axis=-1)[..., 0]
-    xp = jnp.where(x > 0, jnp.take_along_axis(col_cdf_row, jnp.maximum(x - 1, 0)[..., None],
-                                              axis=-1)[..., 0], 0.0)
-    p_col = xc - xp
-    p_pixel = p_row * p_col
+    p_pixel = jnp.take(lights.env_pmf.reshape(-1), y * We + x)
     sin_t = jnp.maximum(jnp.sin(jnp.clip(v, 1e-4, 1 - 1e-4) * jnp.pi), 1e-5)
     jac = (He * We) / (2.0 * jnp.pi * jnp.pi * sin_t)
     return p_pixel * jac
+
+
+def _env_sample_pixel(lights: schema.LightTable, u2: Array):
+    """O(1) alias-table draw of an env pixel: (y, x, pmf) from two uniforms
+    with ONE (B, 4) fat-row gather."""
+    He, We = lights.env_map.shape[0], lights.env_map.shape[1]
+    n = He * We
+    slot = jnp.minimum((u2[:, 0] * n).astype(jnp.int32), n - 1)
+    row = jnp.take(lights.env_alias, slot, axis=0)
+    use_alias = u2[:, 1] >= row[:, 0]
+    alias_idx = jax.lax.bitcast_convert_type(row[:, 1], jnp.int32)
+    pix = jnp.where(use_alias, alias_idx, slot)
+    pmf = jnp.where(use_alias, row[:, 3], row[:, 2])
+    return pix // We, pix % We, pmf
 
 
 def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
@@ -242,14 +251,15 @@ def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
     state, u_env = rngmod.next_float2(state)
     if has_env_static(lights):
         He, We = lights.env_map.shape[0], lights.env_map.shape[1]
-        y = _searchsorted_cdf(lights.env_cdf_rows, u_env[:, 0])
-        col_cdf = lights.env_cdf_cols[y]
-        x = jnp.clip(jax.vmap(jnp.searchsorted, in_axes=(0, 0))(col_cdf, u_env[:, 1]), 0, We - 1)
+        y, x, pmf = _env_sample_pixel(lights, u_env)
         u_img = (x.astype(jnp.float32) + 0.5) / We
         v_img = (y.astype(jnp.float32) + 0.5) / He
-        dir_env, _ = _env_direction_from_uv(lights, u_img, v_img)
-        le_env = lights.env_map[y, x] * p[:, 3:6]
-        pdf_env = jnp.maximum(_env_pdf_dir(scene, dir_env), 1e-12)
+        dir_env, sin_t = _env_direction_from_uv(lights, u_img, v_img)
+        le_env = jnp.take(lights.env_map.reshape(-1, 3), y * We + x,
+                          axis=0) * p[:, 3:6]
+        jac = (He * We) / (2.0 * jnp.pi * jnp.pi
+                           * jnp.maximum(sin_t, 1e-5))
+        pdf_env = jnp.maximum(pmf * jac, 1e-12)
         rop_env = le_env / pdf_env[..., None]
     else:
         dir_env = dir_pt
@@ -394,15 +404,16 @@ def sample_emitter_ray(scene: schema.SceneData, state: Array) -> tuple:
     # env: direction from map (pointing into the scene), origin on far disk
     if has_env_static(lights):
         He, We = lights.env_map.shape[0], lights.env_map.shape[1]
-        y = _searchsorted_cdf(lights.env_cdf_rows, u_dir[:, 0])
-        col_cdf = lights.env_cdf_cols[y]
-        x = jnp.clip(jax.vmap(jnp.searchsorted, in_axes=(0, 0))(col_cdf, u_dir[:, 1]), 0, We - 1)
+        y, x, pmf = _env_sample_pixel(lights, u_dir)
         u_img = (x.astype(jnp.float32) + 0.5) / We
         v_img = (y.astype(jnp.float32) + 0.5) / He
-        d_from_env, _ = _env_direction_from_uv(lights, u_img, v_img)
+        d_from_env, sin_te = _env_direction_from_uv(lights, u_img, v_img)
         d_env = -d_from_env  # radiance flows opposite the "direction to env"
-        le_env = lights.env_map[y, x] * p[:, 3:6]
-        pdf_env_d = jnp.maximum(_env_pdf_dir(scene, d_from_env), 1e-12)
+        le_env = jnp.take(lights.env_map.reshape(-1, 3), y * We + x,
+                          axis=0) * p[:, 3:6]
+        jac_e = (He * We) / (2.0 * jnp.pi * jnp.pi
+                             * jnp.maximum(sin_te, 1e-5))
+        pdf_env_d = jnp.maximum(pmf * jac_e, 1e-12)
         e1, e2 = vm.coordinate_system(d_env)
         disk_e = warp.square_to_uniform_disk_concentric(u_pos) * world_r
         o_env = (world_c - d_env * world_r[..., None] + e1 * disk_e[:, 0:1] + e2 * disk_e[:, 1:2])

@@ -183,13 +183,20 @@ def volumetric_radiance(scene: schema.SceneData, grid: hashgrid.HashGrid,
                                                   k * dt, t_k)))
 
         def accum(carry, rows, mask):
-            ph_pow, ph_wi = rows[:, 3:6], rows[:, 6:9]
-            is_med = jnp.all(rows[:, 9:12] == 0.0, axis=-1)  # medium photons
+            # K-axis vectorized over the batched neighborhood (B, K, W)
+            ph_pow, ph_wi = rows[..., 3:6], rows[..., 6:9]
+            is_med = jnp.all(rows[..., 9:12] == 0.0, axis=-1)  # medium photons
             ok = mask & is_med
-            dist = jnp.sqrt(jnp.maximum(jnp.sum((rows[:, 0:3] - p_k) ** 2, -1), 0.0))
-            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=3) * corr
-            ph = phasemod.eval_phase(ptype, g, ph_wi, -d)
-            return carry + jnp.where(ok[:, None], ph_pow * (kw * ph)[:, None], 0.0)
+            dist = jnp.sqrt(jnp.maximum(
+                jnp.sum((rows[..., 0:3] - p_k[:, None, :]) ** 2, -1), 0.0))
+            kw = (kernelsmod.k(kernelsmod.PERLIN, dist, r_lane[:, None], dim=3)
+                  * corr[:, None])
+            ph = phasemod.eval_phase(ptype[:, None], g[:, None], ph_wi,
+                                     jnp.broadcast_to(-d[:, None, :],
+                                                      ph_wi.shape))
+            contrib = ph_pow * (kw * ph)[..., None]
+            return carry + jnp.sum(jnp.where(ok[..., None], contrib, 0.0),
+                                   axis=1)
 
         inscatter = hashgrid.gather_neighbors(grid, p_k, r_lane, accum,
                                               jnp.zeros((B, 3)), max_per_cell=4)
@@ -316,17 +323,22 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
         r_lane = jnp.sqrt(jnp.maximum(ppm_state.r2, 1e-20))
 
         def accum_a(carry, rows, mask):
+            # K-axis vectorized over the batched neighborhood (B, K, W)
             flux, M = carry
-            ph_pos, ph_pow, ph_wi, ph_n = (rows[:, 0:3], rows[:, 3:6],
-                                           rows[:, 6:9], rows[:, 9:12])
-            d2 = jnp.sum((ph_pos - gv_p) ** 2, -1)
-            ok = (mask & (vm.dot(ph_n, gv_ns) > 0.5)
-                  & (vm.dot(ph_wi, gv_ns) > 0.0) & (d2 <= r_lane * r_lane))
+            ph_pos, ph_pow, ph_wi, ph_n = (rows[..., 0:3], rows[..., 3:6],
+                                           rows[..., 6:9], rows[..., 9:12])
+            ns_ = gv_ns[:, None, :]
+            d2 = jnp.sum((ph_pos - gv_p[:, None, :]) ** 2, -1)
+            ok = (mask & (jnp.sum(ph_n * ns_, -1) > 0.5)
+                  & (jnp.sum(ph_wi * ns_, -1) > 0.0)
+                  & (d2 <= (r_lane * r_lane)[:, None]))
             # smooth-kernel flux in Hachisuka's count units (K2 * pi r^2)
-            kw = kernelsmod.k(kernel_type, jnp.sqrt(jnp.maximum(d2, 0.0)),
-                              r_lane, dim=2) * (jnp.pi * r_lane * r_lane)
-            flux = flux + jnp.where(ok[:, None], ph_pow * kw[:, None], 0.0)
-            return flux, M + ok.astype(jnp.float32)
+            kw = (kernelsmod.k(kernel_type, jnp.sqrt(jnp.maximum(d2, 0.0)),
+                               r_lane[:, None], dim=2)
+                  * (jnp.pi * r_lane * r_lane)[:, None])
+            flux = flux + jnp.sum(
+                jnp.where(ok[..., None], ph_pow * kw[..., None], 0.0), axis=1)
+            return flux, M + jnp.sum(ok.astype(jnp.float32), axis=1)
 
         flux, M = hashgrid.gather_neighbors(
             grid, gv_p, r_lane, accum_a, (jnp.zeros((B, 3)), jnp.zeros(B)))
@@ -346,11 +358,17 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
     r_lane = jnp.full(B, radius)
 
     def accum(carry, rows, mask):
-        ph_pos, ph_pow, ph_wi, ph_n = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
-        ok = mask & (vm.dot(ph_n, gv_ns) > 0.5) & (vm.dot(ph_wi, gv_ns) > 0.0)
-        d = jnp.sqrt(jnp.maximum(jnp.sum((ph_pos - gv_p) ** 2, -1), 0.0))
-        k = kernelsmod.k(kernel_type, d, r_lane, dim=2)
-        return carry + jnp.where(ok[:, None], ph_pow * k[:, None], 0.0)
+        # K-axis vectorized over the batched neighborhood (B, K, W)
+        ph_pos, ph_pow, ph_wi, ph_n = (rows[..., 0:3], rows[..., 3:6],
+                                       rows[..., 6:9], rows[..., 9:12])
+        ns_ = gv_ns[:, None, :]
+        ok = (mask & (jnp.sum(ph_n * ns_, -1) > 0.5)
+              & (jnp.sum(ph_wi * ns_, -1) > 0.0))
+        d = jnp.sqrt(jnp.maximum(
+            jnp.sum((ph_pos - gv_p[:, None, :]) ** 2, -1), 0.0))
+        k = kernelsmod.k(kernel_type, d, r_lane[:, None], dim=2)
+        contrib = ph_pow * k[..., None]
+        return carry + jnp.sum(jnp.where(ok[..., None], contrib, 0.0), axis=1)
 
     flux = hashgrid.gather_neighbors(grid, gv_p, r_lane, accum, jnp.zeros((B, 3)))
     Lg = gv_albedo * inv_pi * flux

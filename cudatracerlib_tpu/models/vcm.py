@@ -232,23 +232,26 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         r_lane = jnp.full(B, radius)
 
         def accum(carry, prows, mask):
-            ph_pos = prows[:, 0:3]
-            ph_beta = prows[:, 3:6]
-            ph_wi = prows[:, 6:9]
-            ph_ns = prows[:, 9:12]
-            ph_dvcm = prows[:, 12]
-            ph_dvc = prows[:, 13]
-            ph_dvm = prows[:, 14]
-            ok = mask & (vm.dot(ph_ns, si.ns) > 0.5) & (vm.dot(ph_wi, si.ns) > 0)
+            # K-axis vectorized over the batched neighborhood (B, K, W)
+            ph_beta = prows[..., 3:6]
+            ph_wi = prows[..., 6:9]
+            ph_ns = prows[..., 9:12]
+            ph_dvcm = prows[..., 12]
+            ph_dvm = prows[..., 14]
+            ns_ = si.ns[:, None, :]
+            ok = (mask & (jnp.sum(ph_ns * ns_, -1) > 0.5)
+                  & (jnp.sum(ph_wi * ns_, -1) > 0))
             # diffuse merge: f = albedo/pi, pdfs = cos/pi both ways
-            cos_ph = jnp.maximum(vm.absdot(si.ns, ph_wi), 1e-6)
+            cos_ph = jnp.maximum(jnp.abs(jnp.sum(ph_wi * ns_, -1)), 1e-6)
             pdf_fwd = cos_ph / jnp.pi
             pdf_rev = cos_in / jnp.pi
             w_light = ph_dvcm * mis_vc_w + ph_dvm * _mis(pdf_fwd)
             w_cam = dvcm_h * mis_vc_w + dvm_h * _mis(pdf_rev)
-            mis_w = 1.0 / (w_light + 1.0 + w_cam)
-            f = albedo / jnp.pi
-            return carry + jnp.where(ok[:, None], f * ph_beta * mis_w[:, None], 0.0)
+            mis_w = 1.0 / (w_light + 1.0 + w_cam[:, None])
+            f = (albedo / jnp.pi)[:, None, :]
+            contrib = f * ph_beta * mis_w[..., None]
+            return carry + jnp.sum(jnp.where(ok[..., None], contrib, 0.0),
+                                   axis=1)
 
         flux = hashgrid.gather_neighbors(grid, si.p, r_lane, accum, jnp.zeros((B, 3)))
         Lm = beta_c * flux / eta_vcm  # 1/(pi r^2 n_paths): all lanes' photons

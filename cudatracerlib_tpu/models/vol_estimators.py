@@ -47,31 +47,41 @@ def radiance_beamgrid(scene: schema.SceneData, grid: hashgrid.HashGrid,
     def visit(carry, flat_cell, t_enter, t_exit, alive):
         L, tau = carry
         mid = o + d * (0.5 * (t_enter + t_exit))[:, None]
-        _, _, ptype, g = mediummod.sigma_at(scene.media, mid)
+        sig_a, sig_s, ptype, g = mediummod.sigma_at(scene.media, mid)
+        sig_t = sig_a + sig_s
         T_enter = jnp.exp(-tau)
 
         def accum(L, rows, in_range):
-            ph_pos, ph_pow, ph_wi = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
-            t_p = vm.dot(ph_pos - o, d)
-            foot = o + d * t_p[:, None]
+            # K-axis vectorized over the batched cell rows (B, K, W)
+            ph_pos, ph_pow, ph_wi = (rows[..., 0:3], rows[..., 3:6],
+                                     rows[..., 6:9])
+            o_ = o[:, None, :]
+            d_ = d[:, None, :]
+            t_p = jnp.sum((ph_pos - o_) * d_, axis=-1)           # (B, K)
+            foot = o_ + d_ * t_p[..., None]
             foot_cell = hashgrid.cell_of(grid, foot)
-            dist = jnp.sqrt(jnp.maximum(vm.length_sqr(ph_pos - foot), 0.0))
-            ok = (alive & in_range & (dist <= r_lane)
-                  & (foot_cell == flat_cell)                # count each disc once
-                  & (t_p >= t_enter) & (t_p <= t_exit))
-            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=2)
+            dist = jnp.sqrt(jnp.maximum(
+                jnp.sum((ph_pos - foot) ** 2, -1), 0.0))
+            ok = (alive[:, None] & in_range & (dist <= r_lane[:, None])
+                  & (foot_cell == flat_cell[:, None])   # count each disc once
+                  & (t_p >= t_enter[:, None]) & (t_p <= t_exit[:, None]))
+            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane[:, None], dim=2)
             # boundary-corrected kernel: renormalize by the kernel-mass
             # fraction inside the medium (density estimation collects no
             # photons past the boundary, biasing slabs dark near faces)
             b_d = jnp.min(jnp.minimum(foot - lo_m, hi_m - foot), axis=-1)
             kw = kw / kernelsmod.boundary_frac(jnp.maximum(b_d, 0.0),
-                                               r_lane, 2)
-            ph = phasemod.eval_phase(ptype, g, ph_wi, -d)
-            # transmittance at the disc: extend from the cell entry (exact
-            # boundary clipping via tau_segment)
-            T_p = T_enter * jnp.exp(-mediummod.tau_segment(
-                scene.media, o, d, t_enter, jnp.maximum(t_p, t_enter)))
-            return L + jnp.where(ok[:, None], ph_pow * (kw * ph)[:, None] * T_p, 0.0)
+                                               r_lane[:, None], 2)
+            ph = phasemod.eval_phase(ptype[:, None], g[:, None], ph_wi,
+                                     jnp.broadcast_to(-d_, ph_wi.shape))
+            # transmittance from the cell entry to each disc with the CELL's
+            # sigma (midpoint rule within the chord; exact for homogeneous
+            # media — same accuracy as the tau_segment it replaces there)
+            dt_p = jnp.maximum(t_p - t_enter[:, None], 0.0)
+            T_p = (T_enter[:, None, :]
+                   * jnp.exp(-sig_t[:, None, :] * dt_p[..., None]))
+            contrib = ph_pow * (kw * ph)[..., None] * T_p
+            return L + jnp.sum(jnp.where(ok[..., None], contrib, 0.0), axis=1)
 
         L = dda.gather_cell(grid, flat_cell, accum, L, max_per_cell=max_per_cell)
         tau_cell = mediummod.tau_segment(scene.media, o, d, t_enter, t_exit)
@@ -107,45 +117,56 @@ def radiance_beambeam(scene: schema.SceneData, beam_grid: hashgrid.HashGrid,
         L, tau = carry
         mid = o + d * (0.5 * (t_enter + t_exit))[:, None]
         sig_a, sig_s, ptype, g = mediummod.sigma_at(scene.media, mid)
+        sig_t = sig_a + sig_s
         T_enter = jnp.exp(-tau)
 
         def accum(L, rows, in_range):
-            bo, bd = rows[:, 0:3], rows[:, 3:6]
-            b_len, b_pow, b_sig = rows[:, 6], rows[:, 7:10], rows[:, 10:13]
+            # K-axis vectorized over the batched cell rows (B, K, W)
+            bo, bd = rows[..., 0:3], rows[..., 3:6]
+            b_len, b_pow, b_sig = (rows[..., 6], rows[..., 7:10],
+                                   rows[..., 10:13])
+            o_ = o[:, None, :]
+            d_ = d[:, None, :]
             # closest approach between ray (o, d) and beam (bo, bd)
-            w0 = o - bo
-            a_ = vm.dot(d, d)
-            b_ = vm.dot(d, bd)
-            c_ = vm.dot(bd, bd)
-            dd_ = vm.dot(d, w0)
-            e_ = vm.dot(bd, w0)
-            denom = a_ * c_ - b_ * b_
+            w0 = o_ - bo
+            b_ = jnp.sum(d_ * bd, -1)
+            c_ = jnp.sum(bd * bd, -1)
+            dd_ = jnp.sum(d_ * w0, -1)
+            e_ = jnp.sum(bd * w0, -1)
+            denom = c_ - b_ * b_                     # a_ == 1 for unit d
             sin2 = jnp.maximum(denom, 1e-8)          # |d x bd|^2 for unit dirs
             s_cam = (b_ * e_ - c_ * dd_) / sin2      # param on camera ray
-            t_beam = (a_ * e_ - b_ * dd_) / sin2     # param on photon beam
-            s_cam_c = jnp.clip(s_cam, 0.0, t1)
+            t_beam = (e_ - b_ * dd_) / sin2          # param on photon beam
+            s_cam_c = jnp.clip(s_cam, 0.0, t1[:, None])
             t_beam_c = jnp.clip(t_beam, 0.0, b_len)
-            p_cam = o + d * s_cam_c[:, None]
-            p_beam = bo + bd * t_beam_c[:, None]
-            dist = jnp.sqrt(jnp.maximum(vm.length_sqr(p_cam - p_beam), 0.0))
+            p_cam = o_ + d_ * s_cam_c[..., None]
+            p_beam = bo + bd * t_beam_c[..., None]
+            dist = jnp.sqrt(jnp.maximum(
+                jnp.sum((p_cam - p_beam) ** 2, -1), 0.0))
             foot_cell = hashgrid.cell_of(beam_grid, p_cam)
-            ok = (alive & in_range & (dist <= r_lane)
-                  & (foot_cell == flat_cell)
-                  & (s_cam >= 0.0) & (s_cam <= t1)
+            ok = (alive[:, None] & in_range & (dist <= r_lane[:, None])
+                  & (foot_cell == flat_cell[:, None])
+                  & (s_cam >= 0.0) & (s_cam <= t1[:, None])
                   & (t_beam >= 0.0) & (t_beam <= b_len))
             sin_theta = jnp.sqrt(jnp.clip(sin2, 1e-8, 1.0))
-            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane, dim=1)
+            kw = kernelsmod.k(kernelsmod.PERLIN, dist, r_lane[:, None], dim=1)
             # boundary-corrected 1D kernel (see radiance_beamgrid)
             b_d = jnp.min(jnp.minimum(p_cam - lo_m, hi_m - p_cam), axis=-1)
             kw = kw / kernelsmod.boundary_frac(jnp.maximum(b_d, 0.0),
-                                               r_lane, 1)
-            ph = phasemod.eval_phase(ptype, g, bd, -d)
-            T_cam = T_enter * jnp.exp(-mediummod.tau_segment(
-                scene.media, o, d, t_enter, jnp.maximum(s_cam_c, t_enter)))
-            T_beam = jnp.exp(-b_sig * t_beam_c[:, None])
+                                               r_lane[:, None], 1)
+            ph = phasemod.eval_phase(ptype[:, None], g[:, None], bd,
+                                     jnp.broadcast_to(-d_, bd.shape))
+            # camera transmittance from the cell entry with the CELL's sigma
+            # (midpoint rule within the chord; exact for homogeneous media)
+            dt_c = jnp.maximum(s_cam_c - t_enter[:, None], 0.0)
+            T_cam = (T_enter[:, None, :]
+                     * jnp.exp(-sig_t[:, None, :] * dt_c[..., None]))
+            T_beam = jnp.exp(-b_sig * t_beam_c[..., None])
             # in-scattered sigma_s at the gather point
-            contrib = b_pow * T_beam * T_cam * ((kw * ph / sin_theta)[:, None]) * sig_s
-            return L + jnp.where(ok[:, None], contrib, 0.0)
+            contrib = (b_pow * T_beam * T_cam
+                       * ((kw * ph / sin_theta)[..., None])
+                       * sig_s[:, None, :])
+            return L + jnp.sum(jnp.where(ok[..., None], contrib, 0.0), axis=1)
 
         L = dda.gather_cell(beam_grid, flat_cell, accum, L, max_per_cell=max_per_cell)
         tau_cell = mediummod.tau_segment(scene.media, o, d, t_enter, t_exit)

@@ -71,25 +71,22 @@ def neighbor_cells(grid: HashGrid, p: Array, radius: Array) -> Array:
 
 def gather_neighbors(grid: HashGrid, p: Array, radius: Array,
                      accum_fn, init, max_per_cell: int = 16):
-    """Fold accum_fn over photons within `radius` of each query point.
+    """Gather photons within `radius` of each query point.
 
-    accum_fn(carry, rows (B, K), mask (B,)) -> carry, called 8*max_per_cell
-    times with gathered photon rows (positions assumed in rows[:, 0:3]).
-    """
+    accum_fn(carry, rows (B, 8*K, W), mask (B, 8*K)) -> carry, called ONCE
+    with the whole 2x2x2 neighborhood batch-gathered (positions assumed in
+    rows[..., 0:3]). One big gather replaces 8*K sequential small ones —
+    the serial loop was the PPM eye pass's dominant cost."""
     B = p.shape[0]
     cells = neighbor_cells(grid, p, radius)            # (B, 8)
-    carry = init
     n = grid.data.shape[0]
-    for c8 in range(8):
-        start, count = query_ranges(grid, cells[:, c8])
-
-        def body(k, carry):
-            idx = jnp.minimum(start + k, n - 1)
-            rows = jnp.take(grid.data, idx, axis=0)
-            in_range = k < count
-            d2 = jnp.sum((rows[:, 0:3] - p) ** 2, axis=-1)
-            mask = in_range & (d2 <= radius * radius)
-            return accum_fn(carry, rows, mask)
-
-        carry = jax.lax.fori_loop(0, max_per_cell, body, carry)
-    return carry
+    start, count = query_ranges(grid, cells.reshape(-1))
+    start = start.reshape(B, 8)
+    count = count.reshape(B, 8)
+    k = jnp.arange(max_per_cell, dtype=jnp.int32)
+    idx = jnp.minimum(start[:, :, None] + k[None, None, :], n - 1)
+    rows = jnp.take(grid.data, idx.reshape(B, 8 * max_per_cell), axis=0)
+    in_rng = (k[None, None, :] < count[:, :, None]).reshape(B, -1)
+    d2 = jnp.sum((rows[..., 0:3] - p[:, None, :]) ** 2, axis=-1)
+    mask = in_rng & (d2 <= (radius * radius)[:, None])
+    return accum_fn(init, rows, mask)

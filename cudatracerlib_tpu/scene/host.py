@@ -858,14 +858,14 @@ class DynamicScene:
             # sin(theta) weighting for the equirectangular solid-angle measure
             sin_t = np.sin((np.arange(He) + 0.5) / He * np.pi)[:, None].astype(np.float32)
             w = env_lum * sin_t + 1e-12
-            row_w = w.sum(1)
-            cdf_rows = np.cumsum(row_w) / row_w.sum()
-            cdf_cols = np.cumsum(w, axis=1) / w.sum(1, keepdims=True)
+            from . import alias as aliasmod
+            env_alias = aliasmod.build_alias_table(w)
+            env_pmf = env_alias[:, 2].reshape(He, We)
             env_to_world = self._env["to_world"]
         else:
             env = np.zeros((1, 1, 3), np.float32)
-            cdf_rows = np.ones(1, np.float32)
-            cdf_cols = np.ones((1, 1), np.float32)
+            env_alias = np.asarray([[1.0, 0.0, 1.0, 1.0]], np.float32)
+            env_pmf = np.ones((1, 1), np.float32)
             env_to_world = np.eye(4, dtype=np.float32)
 
         return schema.LightTable(
@@ -873,8 +873,8 @@ class DynamicScene:
             power_cdf=jnp.asarray(cdf, jnp.float32),
             al_tris=jnp.asarray(al_tris_arr), al_cdf=jnp.asarray(al_cdf_arr),
             al_first=jnp.asarray(al_first_arr), al_count=jnp.asarray(al_count_arr),
-            env_map=jnp.asarray(env), env_cdf_rows=jnp.asarray(cdf_rows, jnp.float32),
-            env_cdf_cols=jnp.asarray(cdf_cols, jnp.float32),
+            env_map=jnp.asarray(env), env_alias=jnp.asarray(env_alias),
+            env_pmf=jnp.asarray(env_pmf),
             env_to_world=jnp.asarray(env_to_world),
             env_world_to=jnp.asarray(np.linalg.inv(env_to_world)))
 

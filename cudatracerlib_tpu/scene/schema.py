@@ -221,8 +221,12 @@ class LightTable(NamedTuple):
     al_count: Array    # (L,) i32
     # Environment map (1x1 black if absent)
     env_map: Array     # (He, We, 3) f32 radiance
-    env_cdf_rows: Array  # (He,) f32 inclusive CDF over row luminance
-    env_cdf_cols: Array  # (He, We) f32 inclusive CDF within each row
+    # O(1) env importance sampling: Vose alias rows over the sin-weighted
+    # pixel luminance (scene/alias.py) + the per-pixel selection pmf for
+    # pdf evaluation of arbitrary directions. Replaces the reference's
+    # row/column CDF binary searches, which cost (B, We)-row gathers on TPU.
+    env_alias: Array   # (He*We, 4) f32 [prob, alias_bits, pmf_self, pmf_alias]
+    env_pmf: Array     # (He, We) f32 per-pixel selection probability
     env_to_world: Array  # (4, 4) rotation of the env sphere
     env_world_to: Array  # (4, 4) inverse
 

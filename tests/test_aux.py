@@ -75,3 +75,31 @@ def test_game_tracer():
     img2 = np.asarray(tr.render(1))  # temporal blend pass
     assert np.isfinite(img2).all()
     assert img2.mean() > 0.01
+
+
+def test_alias_table_matches_pmf():
+    """Vose alias tables (scene/alias.py): empirical draw frequencies match
+    the target pmf, and stored pmfs are exact."""
+    import numpy as np
+    from cudatracerlib_tpu.scene import alias as aliasmod
+
+    rng = np.random.default_rng(7)
+    w = rng.random(257).astype(np.float32) ** 3  # spiky
+    t = aliasmod.build_alias_table(w)
+    pmf = w / w.sum()
+    np.testing.assert_allclose(t[:, 2], pmf, rtol=1e-5)
+    # alias invariant: prob[i] + sum of (1-prob[j]) over j aliasing to i
+    # reconstructs n*pmf[i]
+    n = w.size
+    alias = t[:, 1].view(np.int32)
+    recon = t[:, 0].copy()
+    for j in range(n):
+        if alias[j] != j:
+            recon[alias[j]] += 1.0 - t[j, 0]
+    np.testing.assert_allclose(recon, n * pmf, atol=1e-4)
+    # empirical frequencies
+    u = rng.random((200000, 2))
+    slot = np.minimum((u[:, 0] * n).astype(np.int64), n - 1)
+    pick = np.where(u[:, 1] < t[slot, 0], slot, alias[slot])
+    freq = np.bincount(pick, minlength=n) / u.shape[0]
+    assert np.abs(freq - pmf).max() < 0.004

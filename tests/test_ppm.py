@@ -24,7 +24,8 @@ def test_hashgrid_query():
     q = r.random((64, 3)).astype(np.float32) * 3 - 1.5
 
     def accum(carry, rows_, mask):
-        return carry + mask.astype(jnp.float32)
+        # batched API: rows (B, 8*K, W), mask (B, 8*K)
+        return carry + jnp.sum(mask.astype(jnp.float32), axis=1)
 
     cnt = hashgrid.gather_neighbors(g, jnp.asarray(q), jnp.full(64, radius),
                                     accum, jnp.zeros(64), max_per_cell=64)
