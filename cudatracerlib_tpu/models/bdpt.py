@@ -85,7 +85,8 @@ def _eval_with_rev(ctx, wi_local, wo_local, active_types):
 
 def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
               w: int, h: int, max_depth: int, active_types,
-              force_s: int = -1, force_t: int = -1) -> filmmod.Film:
+              force_s: int = -1, force_t: int = -1,
+              pixel_idx: Array = None, total_paths: int = None) -> filmmod.Film:
     """One BDPT pass over all pixels. force_s / force_t isolate a single
     connection family (reference BDPT Force_s/Force_t debug knobs).
 
@@ -95,9 +96,12 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     mask contributions instead of skipping code, so every strategy family
     consumes the same RNG stream and the per-family renders sum EXACTLY to
     the full render."""
-    B = w * h
-    n_paths = float(B)
-    pixel_idx = jnp.arange(B, dtype=jnp.int32)
+    # pixel_idx restricts the pass to a pixel/light-path subset (multi-chip
+    # sharding); total_paths keeps the t=1 splat normalization GLOBAL
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    B = pixel_idx.shape[0]
+    n_paths = float(total_paths if total_paths is not None else B)
     state = rngmod.seed(pixel_idx, pass_idx, jnp.uint32(0xB0))
     geom = scene.geom
 

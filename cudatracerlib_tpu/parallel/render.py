@@ -101,6 +101,38 @@ def sharded_lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     return jax.jit(run)(scene, film, path_ids, jnp.int32(pass_idx))
 
 
+def sharded_bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+                      mesh: Mesh, w: int, h: int, max_depth: int = 6,
+                      active_types: Sequence[int] = None,
+                      axis: str = "tiles") -> filmmod.Film:
+    """One BDPT pass with pixels (and their paired light sub-paths) sharded
+    over the mesh (SURVEY §5: splat-film psum for BDPT): each chip runs the
+    full bidirectional pass on its pixel shard — the t=1 light-tracing
+    strategies splat anywhere on the film, so rgb/weight AND splat buffers
+    are psum'd; total_paths keeps the splat normalization global."""
+    from ..models import bdpt as bdptmod
+    if active_types is None:
+        active_types = pathmod.scene_active_types(scene)
+    n_dev = mesh.shape[axis]
+    assert (w * h) % n_dev == 0
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P()),
+             out_specs=P(), check_vma=False)
+    def run(scene, film, pixel_idx, pass_idx):
+        local, _ = bdptmod.bdpt_pass(
+            scene, filmmod.new_film(w, h), pass_idx, w=w, h=h,
+            max_depth=max_depth, active_types=tuple(active_types),
+            pixel_idx=pixel_idx, total_paths=w * h)
+        return film._replace(
+            rgb=film.rgb + jax.lax.psum(local.rgb, axis),
+            weight=film.weight + jax.lax.psum(local.weight, axis),
+            splat=film.splat + jax.lax.psum(local.splat, axis))
+
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    return jax.jit(run)(scene, film, pixel_idx, jnp.int32(pass_idx))
+
+
 def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                      mesh: Mesh, w: int, h: int, radius, n_photons: int = None,
                      max_depth: int = 6, active_types: Sequence[int] = None,

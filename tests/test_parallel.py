@@ -90,3 +90,23 @@ def test_sharded_ppm_matches_single_device():
     tr = ppmmod.PPMTracer(scene, w, h, max_depth=3, initial_radius=r)
     img_single = np.asarray(tr.render(1))
     np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_bdpt_matches_single_device():
+    """Pixel-sharded BDPT (camera sub-paths + paired light sub-paths local,
+    rgb/weight/splat psum'd, global splat normalization) reproduces the
+    single-device BDPT image exactly (same pixel ids, same RNG streams)."""
+    from cudatracerlib_tpu.models import bdpt as bdptmod
+    w = h = 32
+    scene = example_scenes.cornell_box(w, h, spheres=False).build()
+    mesh = prender.make_mesh(8)
+    scene_r = prender.replicate_scene(scene, mesh)
+    film = prender.sharded_bdpt_pass(scene_r, filmmod.new_film(w, h),
+                                     jnp.int32(0), mesh, w, h, max_depth=3)
+    film = film._replace(n_passes=jnp.float32(1.0))
+    img_sharded = np.asarray(filmmod.develop(film))
+
+    tr = bdptmod.BDPT(scene, w, h, max_depth=3)
+    img_single = np.asarray(tr.render(1))
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
