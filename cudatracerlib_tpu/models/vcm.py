@@ -38,14 +38,20 @@ PHOTON_K = 15
 
 
 def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
-             w: int, h: int, max_depth: int, active_types, radius: float
-             ) -> filmmod.Film:
-    B = w * h
-    n_paths = float(B)
+             w: int, h: int, max_depth: int, active_types, radius: float,
+             pixel_idx: Array = None, total_paths: int = None,
+             photon_gather_axis: str = None) -> filmmod.Film:
+    # pixel_idx restricts the pass to a pixel/light-path subset (multi-chip
+    # sharding); total_paths keeps eta_vcm and the t=1 splat normalization
+    # GLOBAL; photon_gather_axis all_gathers the photon map over that mesh
+    # axis so every chip merges against the full map (SURVEY §5)
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    B = pixel_idx.shape[0]
+    n_paths = float(total_paths if total_paths is not None else B)
     eta_vcm = jnp.pi * radius * radius * n_paths
     mis_vm_w = _mis(eta_vcm)          # factor added to connection weights
     mis_vc_w = _mis(1.0 / eta_vcm)    # factor added to merging weights
-    pixel_idx = jnp.arange(B, dtype=jnp.int32)
     state = rngmod.seed(pixel_idx, pass_idx, jnp.uint32(0xC3))
     geom = scene.geom
 
@@ -111,6 +117,10 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
 
     rows = jnp.concatenate(photon_rows, 0)
     valid = jnp.concatenate(photon_valid, 0)
+    if photon_gather_axis is not None:
+        rows = jax.lax.all_gather(rows, photon_gather_axis)
+        rows = rows.reshape(-1, rows.shape[-1])
+        valid = jax.lax.all_gather(valid, photon_gather_axis).reshape(-1)
     grid = hashgrid.build_grid(rows, rows[:, 0:3], valid,
                                scene.world_lo, scene.world_hi,
                                jnp.float32(2.0 * radius))

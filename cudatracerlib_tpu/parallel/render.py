@@ -133,6 +133,39 @@ def sharded_bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     return jax.jit(run)(scene, film, pixel_idx, jnp.int32(pass_idx))
 
 
+def sharded_vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
+                     mesh: Mesh, w: int, h: int, radius,
+                     max_depth: int = 6, active_types: Sequence[int] = None,
+                     axis: str = "tiles") -> filmmod.Film:
+    """One vertex-connection-and-merging pass over the mesh: pixels and their
+    paired light sub-paths are sharded; each chip's photon rows are
+    all_gather'ed over ICI so every chip merges against the FULL photon map
+    (the sort-based grid is rebuilt per chip, like PPM); eta_vcm and the t=1
+    splat normalization stay global via total_paths; rgb/weight/splat psum'd."""
+    from ..models import vcm as vcmmod
+    if active_types is None:
+        active_types = pathmod.scene_active_types(scene)
+    n_dev = mesh.shape[axis]
+    assert (w * h) % n_dev == 0
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P(), P()),
+             out_specs=P(), check_vma=False)
+    def run(scene, film, pixel_idx, pass_idx, r):
+        local = vcmmod.vcm_pass(
+            scene, filmmod.new_film(w, h), pass_idx, w=w, h=h,
+            max_depth=max_depth, active_types=tuple(active_types), radius=r,
+            pixel_idx=pixel_idx, total_paths=w * h, photon_gather_axis=axis)
+        return film._replace(
+            rgb=film.rgb + jax.lax.psum(local.rgb, axis),
+            weight=film.weight + jax.lax.psum(local.weight, axis),
+            splat=film.splat + jax.lax.psum(local.splat, axis))
+
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    return jax.jit(run)(scene, film, pixel_idx, jnp.int32(pass_idx),
+                        jnp.float32(radius))
+
+
 def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                      mesh: Mesh, w: int, h: int, radius, n_photons: int = None,
                      max_depth: int = 6, active_types: Sequence[int] = None,

@@ -93,6 +93,33 @@ def test_sharded_ppm_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_vcm_matches_single_device():
+    """Pixel-sharded VCM (paired light sub-paths local, photon rows
+    all_gather'ed so each chip merges against the FULL map, global eta_vcm)
+    reproduces the single-device VCM pass to float-sum tolerance (photon-row
+    order inside grid cells differs, so sums re-associate)."""
+    from cudatracerlib_tpu.models import vcm as vcmmod
+    from cudatracerlib_tpu.models import path as pathmod
+    w = h = 32
+    scene = example_scenes.cornell_box(w, h, spheres=False).build()
+    at = tuple(pathmod.scene_active_types(scene))
+    r = jnp.float32(0.05)
+    mesh = prender.make_mesh(8)
+    scene_r = prender.replicate_scene(scene, mesh)
+    film = prender.sharded_vcm_pass(scene_r, filmmod.new_film(w, h),
+                                    jnp.int32(0), mesh, w, h, radius=r,
+                                    max_depth=3, active_types=at)
+    film = film._replace(n_passes=jnp.float32(1.0))
+    img_sharded = np.asarray(filmmod.develop(film))
+
+    film1 = vcmmod.vcm_pass(scene, filmmod.new_film(w, h), jnp.int32(0),
+                            w=w, h=h, max_depth=3, active_types=at, radius=r)
+    film1 = film1._replace(n_passes=jnp.float32(1.0))
+    img_single = np.asarray(filmmod.develop(film1))
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_sharded_bdpt_matches_single_device():
     """Pixel-sharded BDPT (camera sub-paths + paired light sub-paths local,
     rgb/weight/splat psum'd, global splat normalization) reproduces the
