@@ -137,15 +137,21 @@ def _sample_image(tex: schema.TextureTable, tid: Array, u: Array, v: Array,
     fx = x - x0.astype(jnp.float32)
     fy = y - y0.astype(jnp.float32)
 
-    def fetch(xi, yi):
-        xi = xi % w
-        yi = yi % h
-        return jnp.take(tex.texels, off + yi * w + xi, axis=0)
+    if tex.texels_quad is not None:
+        # ONE fat-row gather per bilinear tap: the quad pool row at (x0, y0)
+        # already holds all four wrap-neighbour texels (schema.texels_quad)
+        q = jnp.take(tex.texels_quad, off + (y0 % h) * w + (x0 % w), axis=0)
+        c00, c10, c01, c11 = q[:, 0:3], q[:, 3:6], q[:, 6:9], q[:, 9:12]
+    else:
+        def fetch(xi, yi):
+            xi = xi % w
+            yi = yi % h
+            return jnp.take(tex.texels, off + yi * w + xi, axis=0)
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+        c00 = fetch(x0, y0)
+        c10 = fetch(x0 + 1, y0)
+        c01 = fetch(x0, y0 + 1)
+        c11 = fetch(x0 + 1, y0 + 1)
     fx = fx[:, None]
     fy = fy[:, None]
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)

@@ -725,8 +725,17 @@ class DynamicScene:
                 if 0 <= ti < X and image_id[ti] >= 0:
                     cone_imgs.add(int(image_id[ti]))
         MAX_MIPS = 12
+
+        def quad_pack(lv: np.ndarray) -> np.ndarray:
+            """(h, w, 3) level -> (h*w, 12) rows of the 2x2 wrap-neighborhood
+            [T(y,x), T(y,x+1), T(y+1,x), T(y+1,x+1)] (schema.texels_quad)."""
+            q = np.stack([lv, np.roll(lv, -1, axis=1), np.roll(lv, -1, axis=0),
+                          np.roll(np.roll(lv, -1, axis=0), -1, axis=1)], axis=2)
+            return q.reshape(-1, 12).astype(np.float32)
+
         if images:
             offs, ws, hs, nmips, pool = [], [], [], [], []
+            qpool = []
             cone_offs = []
             cursor = 0
             for img_i, img in enumerate(images):
@@ -747,6 +756,7 @@ class DynamicScene:
                     w_row[li] = w_
                     h_row[li] = h_
                     pool.append(lv.reshape(-1, 3))
+                    qpool.append(quad_pack(lv))
                     cursor += w_ * h_
                 # clamp trailing levels to the last real one
                 for li in range(len(levels), MAX_MIPS):
@@ -758,12 +768,17 @@ class DynamicScene:
                 if img_i in cone_imgs:
                     from . import conemap
                     cone = conemap.build_cone_map(img.mean(-1))
-                    pool.append(np.repeat(cone.reshape(-1, 1), 3, axis=1))
+                    cone3 = np.repeat(cone.reshape(-1, 1), 3, axis=1)
+                    pool.append(cone3)
+                    # cone maps are point-sampled from the flat pool; the quad
+                    # pool only pads here to keep the shared offsets aligned
+                    qpool.append(np.zeros((cone.size, 12), np.float32))
                     cone_offs.append(cursor)
                     cursor += cone.size
                 else:
                     cone_offs.append(-1)
             texels = np.concatenate(pool)
+            texels_quad = np.concatenate(qpool)
             img_offset = np.stack(offs)
             img_w = np.stack(ws)
             img_h = np.stack(hs)
@@ -771,6 +786,7 @@ class DynamicScene:
             img_cone = np.asarray(cone_offs, np.int32)
         else:
             texels = np.zeros((1, 3), np.float32)
+            texels_quad = np.zeros((1, 12), np.float32)
             img_offset = np.zeros((1, MAX_MIPS), np.int32)
             img_w = np.ones((1, MAX_MIPS), np.int32)
             img_h = np.ones((1, MAX_MIPS), np.int32)
@@ -781,7 +797,8 @@ class DynamicScene:
             image_id=jnp.asarray(image_id), img_offset=jnp.asarray(img_offset),
             img_w=jnp.asarray(img_w), img_h=jnp.asarray(img_h),
             img_nmips=jnp.asarray(img_nmips), texels=jnp.asarray(texels),
-            img_cone=jnp.asarray(img_cone))
+            img_cone=jnp.asarray(img_cone),
+            texels_quad=jnp.asarray(texels_quad))
 
     def _build_lights(self, area_lights, v0, v1, v2, b: bvhmod.BVH) -> schema.LightTable:
         world_radius = 0.5 * float(np.linalg.norm(b.world_hi - b.world_lo)) + 1e-3

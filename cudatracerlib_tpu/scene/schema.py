@@ -208,6 +208,13 @@ class TextureTable(NamedTuple):
     # Engine/MIPMap.h:32 / MIPMap.cu:404-460 — the conservative variant,
     # precomputed at build instead of an offline file tool).
     img_cone: Array = None
+    # (P, 12) QUAD-PACKED texel pool: row i holds the 2x2 wrap-neighborhood
+    # [T(y,x), T(y,x+1), T(y+1,x), T(y+1,x+1)] of flat texel i, so ONE fat-row
+    # gather returns everything a bilinear tap needs (a TPU vector gather
+    # costs the same up to 128 f32 of row width — 4x fewer gather ops than
+    # fetching the corners separately; EWA goes from 40 gathers/eval to 10).
+    # None = fall back to per-corner fetches from `texels`.
+    texels_quad: Array = None
 
 
 class LightTable(NamedTuple):

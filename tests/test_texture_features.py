@@ -320,3 +320,40 @@ def test_cone_step_parallax_matches_dense_march():
     # conservative map must never land PAST it
     np.testing.assert_allclose(d_cone, d_exp, atol=0.01)
     assert (d_cone <= d_exp + 0.005).all()
+
+
+def test_quad_pool_matches_per_corner_fetches():
+    """The quad-packed texel pool (one gather per bilinear tap) reproduces the
+    per-corner fetch path exactly, including wrap at image edges, across all
+    mip levels and EWA taps."""
+    import jax.numpy as jnp
+    from cudatracerlib_tpu.ops import texture as texmod
+    r = np.random.default_rng(7)
+    img = r.random((48, 80, 3)).astype(np.float32)  # non-square, non-pow2 w
+    sc = host.DynamicScene()
+    spec = host.TextureSpec(tex_type=schema.TEX_IMAGE, image=img,
+                            uv_scale=(3.0, 2.0), uv_offset=(0.1, -0.3))
+    m = sc.add_material(host.MaterialSpec(tex_reflectance=spec))
+    sc.create_node(shapes.rectangle(), m)
+    sc.set_sensor(sensors.make_sensor(schema.SENSOR_PERSPECTIVE,
+                                      tf.look_at([0, 0, -3], [0, 0, 0]),
+                                      film_w=8, film_h=8))
+    scene = sc.build()
+    tex = scene.textures
+    assert tex.texels_quad is not None
+    B = 512
+    # uv straddling edges/outside [0,1) to exercise the wrap path
+    uv = jnp.asarray(r.random((B, 2)) * 2.5 - 0.7, jnp.float32)
+    tex_id = jnp.zeros(B, jnp.int32)
+    default = jnp.zeros((B, 3))
+    fp = jnp.asarray(np.exp(r.uniform(np.log(1e-6), np.log(1.0), B)), jnp.float32)
+    ewa_d = jnp.asarray(r.standard_normal((B, 2)), jnp.float32)
+    ewa_d = ewa_d / jnp.linalg.norm(ewa_d, axis=-1, keepdims=True)
+    ewa_m = fp * 4.0
+    tex_flat = tex._replace(texels_quad=None)
+    for kw in ({}, {"uv_footprint": fp},
+               {"uv_footprint": fp, "ewa_dir": ewa_d, "ewa_major": ewa_m}):
+        got = texmod.eval_texture(tex, tex_id, uv, default, **kw)
+        want = texmod.eval_texture(tex_flat, tex_id, uv, default, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-6)
