@@ -119,10 +119,18 @@ def blackbody(temperature_k: float, scale: float = 1.0) -> Array:
 # with Mitsuba's conversion routines). The TPU redesign replaces the
 # compile-time binned class with HERO-WAVELENGTH sampling: each path carries
 # C stratified wavelengths, RGB scene parameters are upsampled to spectral
-# reflectance/emission on the fly (Smits 1999 basis), and the path's
-# spectral radiance resolves to XYZ->linear RGB at the film. Structurally a
-# (B, C) array instead of (B, 3) — same SIMD shape the rest of the
-# framework already vectorizes over.
+# reflectance/emission on the fly, and the path's spectral radiance resolves
+# to XYZ->linear RGB at the film. Structurally a (B, C) array instead of
+# (B, 3) — same SIMD shape the rest of the framework already vectorizes over.
+#
+# The upsampling basis is a FITTED spectral-primary decomposition (Mallett &
+# Yuksel 2019 style, tools/fit_spectral_basis.py): three smooth spectra that
+# form an exact partition of unity (so every RGB in [0,1]^3 maps to a
+# physical reflectance in [0,1]) and whose resolve through THIS module's
+# pipeline reproduces the sRGB primaries exactly — in-gamut colors
+# round-trip to float precision in expectation, where the Smits 1999 basis
+# (kept below as rgb_to_spectral_smits) erred by up to ~10% on saturated
+# colors against the Wyman CMF fit.
 # ---------------------------------------------------------------------------
 
 SPECTRUM_MIN_WAVELENGTH = 380.0   # Smits basis support (nm)
@@ -170,9 +178,97 @@ def sample_hero_wavelengths(u: Array, n: int = 4):
     return lam, 1.0 / span
 
 
+_N_BASIS_BINS = 64
+_BASIS_TABLE = [  # (N, 3) fitted by tools/fit_spectral_basis.py
+    (0.325399, 0.334142, 0.340459),
+    (0.320791, 0.333202, 0.346007),
+    (0.316006, 0.330028, 0.353966),
+    (0.311918, 0.320994, 0.367088),
+    (0.307469, 0.300497, 0.392033),
+    (0.294089, 0.261169, 0.444741),
+    (0.251970, 0.195148, 0.552882),
+    (0.159907, 0.100661, 0.739432),
+    (0.041646, 0.012092, 0.946261),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, -0.000000, 1.000000),
+    (-0.000000, 0.001684, 0.998316),
+    (-0.000000, 0.090630, 0.909371),
+    (-0.000000, 0.236062, 0.763938),
+    (-0.000000, 0.378146, 0.621854),
+    (-0.000000, 0.503404, 0.496596),
+    (-0.000000, 0.616945, 0.383055),
+    (-0.000000, 0.726920, 0.273081),
+    (-0.000000, 0.841335, 0.158666),
+    (-0.000000, 0.950274, 0.049726),
+    (-0.000000, 0.999984, 0.000016),
+    (-0.000000, 0.999986, 0.000014),
+    (-0.000000, 0.999987, 0.000013),
+    (-0.000000, 0.999989, 0.000012),
+    (-0.000000, 0.999990, 0.000010),
+    (-0.000000, 0.999991, 0.000009),
+    (-0.000000, 0.999993, 0.000008),
+    (-0.000000, 0.999994, 0.000006),
+    (-0.000000, 0.999995, 0.000005),
+    (-0.000000, 0.999997, 0.000003),
+    (-0.000000, 0.999998, 0.000002),
+    (-0.000000, 0.981331, 0.018669),
+    (-0.000000, 0.903268, 0.096732),
+    (0.012702, 0.806386, 0.180913),
+    (0.330794, 0.560610, 0.108596),
+    (0.681194, 0.294654, 0.024151),
+    (0.931324, 0.068676, -0.000000),
+    (1.000000, -0.000000, -0.000000),
+    (1.000000, -0.000000, -0.000000),
+    (1.000000, -0.000000, -0.000000),
+    (1.000000, -0.000000, -0.000000),
+    (1.000000, -0.000000, -0.000000),
+    (1.000000, -0.000000, -0.000000),
+    (0.997651, -0.000000, 0.002349),
+    (0.909539, 0.005237, 0.085225),
+    (0.781144, 0.071520, 0.147335),
+    (0.664230, 0.141857, 0.193913),
+    (0.568216, 0.199132, 0.232652),
+    (0.492678, 0.243831, 0.263492),
+    (0.436085, 0.277144, 0.286771),
+    (0.395835, 0.300594, 0.303571),
+    (0.368707, 0.316123, 0.315170),
+    (0.351456, 0.325726, 0.322818),
+    (0.341198, 0.331178, 0.327623),
+    (0.335594, 0.333922, 0.330485),
+    (0.332886, 0.335028, 0.332086),
+    (0.331847, 0.335239, 0.332913),
+    (0.331679, 0.335029, 0.333292),
+    (0.331863, 0.334676, 0.333461),
+]
+
+
+def _basis_table() -> Array:
+    return jnp.asarray(_BASIS_TABLE, jnp.float32)       # (64, 3)
+
+
 def rgb_to_spectral(rgb: Array, lam: Array) -> Array:
-    """Smits upsampling: (B, 3) linear-RGB reflectance -> (B, C) spectral
-    reflectance at wavelengths lam (B, C) nm. Piecewise-constant basis."""
+    """Fitted spectral-primary upsampling: (B, 3) linear-RGB reflectance ->
+    (B, C) spectral reflectance at wavelengths lam (B, C) nm.
+
+    R(lam) = r*B_r(lam) + g*B_g(lam) + b*B_b(lam) with the partition-of-unity
+    basis above: exact round-trip for in-gamut colors, R in [0,1] for RGB in
+    [0,1]^3 (see tools/fit_spectral_basis.py)."""
+    span = SPECTRUM_MAX_WAVELENGTH - SPECTRUM_MIN_WAVELENGTH
+    bin_i = jnp.clip(((lam - SPECTRUM_MIN_WAVELENGTH) / span
+                      * _N_BASIS_BINS).astype(jnp.int32), 0, _N_BASIS_BINS - 1)
+    basis = jnp.take(_basis_table(), bin_i, axis=0)     # (B, C, 3)
+    return jnp.maximum(jnp.einsum('...ci,...i->...c', basis, rgb), 0.0)
+
+
+def rgb_to_spectral_smits(rgb: Array, lam: Array) -> Array:
+    """Smits (1999) upsampling: (B, 3) linear-RGB reflectance -> (B, C)
+    spectral reflectance at lam (B, C) nm. Piecewise-constant basis; kept as
+    the reference-parity alternative to the fitted basis above."""
     t = _smits_tables()                                   # (7, 10)
     span = SPECTRUM_MAX_WAVELENGTH - SPECTRUM_MIN_WAVELENGTH
     bin_i = jnp.clip(((lam - SPECTRUM_MIN_WAVELENGTH) / span
@@ -216,22 +312,21 @@ def cie_xyz_cmf(lam: Array) -> Array:
     return jnp.stack([x, y, z], axis=-1)
 
 
-# integral of ybar over the visible range (normalization so a spectrally
-# flat unit radiance resolves to luminance ~1 / RGB ~white)
-_CMF_Y_INTEGRAL = 106.857
-
-
-# the Smits white basis resolves to equal-energy (E) white XYZ ~ (1,1,1);
-# the sRGB matrix expects D65 — diagonal (von Kries in XYZ) adaptation so
-# RGB-white scene parameters round-trip to white
-_E_TO_D65 = jnp.asarray([0.95047, 1.0, 1.08883], jnp.float32)
+# per-channel white calibration: chosen so the FLAT unit spectrum resolves
+# to exactly RGB white through the Wyman CMF fit on [380, 720] (the von-Kries
+# adaptation to this truncated range's equal-energy white; computed by
+# tools/fit_spectral_basis.py together with the basis, which is fitted
+# against this exact resolve)
+_CMF_WHITE_CALIB = jnp.asarray(
+    [0.00890268, 0.00935350, 0.01019191], jnp.float32)
 
 
 def spectral_to_rgb(L: Array, lam: Array, inv_pdf: Array | float) -> Array:
     """Monte-Carlo resolve of per-path spectral radiance to linear RGB.
 
     L (B, C) radiance at lam (B, C) nm sampled with density 1/inv_pdf:
-    XYZ_j = mean_c L_c * cmf_j(lam_c) * inv_pdf / integral(ybar)."""
+    XYZ_j = mean_c L_c * cmf_j(lam_c) * inv_pdf * calib_j; calibrated so a
+    flat spectrum returns exact white and the fitted basis round-trips."""
     cmf = cie_xyz_cmf(lam)                                # (B, C, 3)
-    xyz = jnp.mean(L[..., None] * cmf, axis=-2) * inv_pdf / _CMF_Y_INTEGRAL
-    return xyz_to_rgb(xyz * _E_TO_D65)
+    xyz = jnp.mean(L[..., None] * cmf, axis=-2) * inv_pdf * _CMF_WHITE_CALIB
+    return xyz_to_rgb(xyz)

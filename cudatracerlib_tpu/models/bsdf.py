@@ -100,33 +100,39 @@ def _mat_fat_rows(mats: schema.MaterialTable) -> Array:
 
 def gather_ctx(scene: schema.SceneData, mat_id: Array, uv: Array,
                uv_footprint: Array | None = None,
-               active_types=None, with_textures: bool = True,
+               active_types=None, with_textures: bool | int = True,
                ewa: tuple | None = None,
                extra: Array | None = None) -> BsdfCtx:
     """Gather material rows + evaluate textures for a lane batch.
 
     active_types (static) skips the nested-BSDF gathers when no
-    coating/roughcoating/blend material exists; with_textures=False (static)
-    skips texture evaluation entirely (pure parameter colors)."""
+    coating/roughcoating/blend material exists. with_textures (static) is a
+    per-slot bitmask (1 = reflectance slot, 2 = secondary-color slot;
+    True = both, False/0 = none — see scene_texture_mask): a scene whose
+    materials never texture a slot compiles no image gathers for it."""
     mats, texs = scene.materials, scene.textures
     mid = jnp.maximum(mat_id, 0)
     fat = _mat_fat_rows(mats)
     P = schema.N_MAT_PARAMS
+    tex_mask = 3 if with_textures is True else int(with_textures)
 
     def gather_one(rows):
         r = jnp.take(fat, rows, axis=0)
         t = _bits_i32(r[:, 0])
         p = r[:, 1:1 + P]
-        if with_textures:
+        c0, c1 = p[:, 0:3], p[:, 19:22]
+        if tex_mask:
             tex_ids = _bits_i32(r[:, 1 + P:5 + P])
             e_dir = ewa[0] if ewa is not None else None
             e_maj = ewa[1] if ewa is not None else None
-            c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, p[:, 0:3],
-                                     uv_footprint, e_dir, e_maj, extra=extra)
-            c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, p[:, 19:22],
-                                     uv_footprint, e_dir, e_maj, extra=extra)
-        else:
-            c0, c1 = p[:, 0:3], p[:, 19:22]
+            if tex_mask & 1:
+                c0 = texmod.eval_texture(texs, tex_ids[:, 0], uv, c0,
+                                         uv_footprint, e_dir, e_maj,
+                                         extra=extra)
+            if tex_mask & 2:
+                c1 = texmod.eval_texture(texs, tex_ids[:, 1], uv, c1,
+                                         uv_footprint, e_dir, e_maj,
+                                         extra=extra)
         return r, t, p, c0, c1
 
     r, t, p, c0, c1 = gather_one(mid)
@@ -152,6 +158,17 @@ def scene_has_textures(scene: schema.SceneData) -> bool:
     """Host-side static check: any material referencing a texture slot."""
     import numpy as np
     return bool(np.any(schema.host_meta(scene)["mat_tex"] >= 0))
+
+
+def scene_texture_mask(scene: schema.SceneData) -> int:
+    """Host-side static per-slot texture mask for gather_ctx's with_textures:
+    bit 0 = some material textures its reflectance slot, bit 1 = some material
+    textures its secondary-color slot. Scenes that only texture reflectance
+    (the common case) compile HALF the image gathers per bounce."""
+    import numpy as np
+    mt = schema.host_meta(scene)["mat_tex"]
+    return ((1 if bool(np.any(mt[:, 0] >= 0)) else 0)
+            | (2 if bool(np.any(mt[:, 1] >= 0)) else 0))
 
 
 # ---------------------------------------------------------------------------

@@ -363,7 +363,7 @@ class PathTracer(tracer.TracerBase):
         self.with_bump = bsdfmod.scene_has_bump(scene)
         self.with_parallax = bsdfmod.scene_has_parallax(scene)
         self.with_bssrdf = bsdfmod.scene_has_bssrdf(scene)
-        self.with_textures = bsdfmod.scene_has_textures(scene)
+        self.with_textures = bsdfmod.scene_texture_mask(scene)
         self.chunk_size = min(chunk_size, width * height)
         n_chunks = (width * height + self.chunk_size - 1) // self.chunk_size
         self._n_chunks = n_chunks
