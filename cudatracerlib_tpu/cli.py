@@ -23,11 +23,14 @@ def _coerce(v: str):
     return v
 
 
-def build_tracer(name: str, scene_data, settings, args):
+def build_tracer(name: str, scene_data, settings, args, devices: int = 1):
     """args: list of "name=value" strings forwarded to the tracer's
     constructor (the reference's TracerArguments string->parameter path,
     TracerSettings.h:352-383) — e.g. --arg vol_estimator=beambeam
-    --arg adaptive_radii=true --arg sampler_type=2."""
+    --arg adaptive_radii=true --arg sampler_type=2.
+
+    devices > 1 renders SPMD over a device mesh (parallel/render.py):
+    supported for PT/wavefront, BDPT, PPM, VCM and LT."""
     from .models import (adaptive, bdpt, fast, game, lighttracer, path, ppm,
                          prim, vcm)
     w, h = settings.width, settings.height
@@ -36,6 +39,27 @@ def build_tracer(name: str, scene_data, settings, args):
     for s in args or []:
         k, _, v = s.partition("=")
         kw[k.strip()] = _coerce(v.strip())
+    if devices > 1:
+        from .parallel import render as prender
+        mesh = prender.make_mesh(devices)
+        sharded = {"pt": prender.ShardedPathTracer,
+                   "path": prender.ShardedPathTracer,
+                   "pt_wave": prender.ShardedPathTracer,
+                   "wavefront": prender.ShardedPathTracer,
+                   "bdpt": prender.ShardedBDPT,
+                   "ppm": prender.ShardedPPMTracer,
+                   "pppm": prender.ShardedPPMTracer,
+                   "vcm": prender.ShardedVCM,
+                   "lt": prender.ShardedLightTracer,
+                   "lighttracer": prender.ShardedLightTracer,
+                   "photontracer": prender.ShardedLightTracer}
+        if name not in sharded:
+            raise SystemExit(f"--devices: tracer '{name}' has no sharded "
+                             "variant (PT/BDPT/PPM/VCM/LT do)")
+        cls = sharded[name]
+        if name not in ("lt", "lighttracer", "photontracer"):
+            kw.setdefault("max_depth", min(settings.max_depth, 8))
+        return cls(scene_data, w, h, mesh=mesh, **kw)
     if name in ("direct", "prim"):
         return prim.PrimTracer(scene_data, w, h,
                                **{"draw_mode": prim.D_ALBEDO, **kw})
@@ -85,6 +109,8 @@ def main(argv=None):
     ap.add_argument("--arg", action="append", default=[],
                     help="name=value tracer parameter (repeatable)")
     ap.add_argument("--debug-pixel", default=None, help="x,y: print one-pixel debug info")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="render SPMD over N devices (PT/BDPT/PPM/VCM/LT)")
     a = ap.parse_args(argv)
 
     from .models import film as filmmod
@@ -105,7 +131,8 @@ def main(argv=None):
           f"{settings.width}x{settings.height} ({time.perf_counter() - t0:.1f}s)")
 
     tracer_name = a.tracer or settings.integrator
-    tr = build_tracer(tracer_name, scene_data, settings, a.arg)
+    tr = build_tracer(tracer_name, scene_data, settings, a.arg,
+                      devices=a.devices)
     n_passes = a.passes if a.passes is not None else max(settings.spp, 1)
     if not tr.progressive:
         n_passes = 1

@@ -233,3 +233,103 @@ class ShardedPathTracer(pathmod.PathTracer):
 
     def render_pass(self, scene, film, pass_idx):
         return self._sharded(scene, film, jnp.int32(pass_idx))
+
+
+def _define_sharded_tracers():
+    """Late-bound subclasses (the model modules import nothing from here)."""
+    from ..models import bdpt as bdptmod
+    from ..models import lighttracer as ltmod
+    from ..models import ppm as ppmmod
+    from ..models import vcm as vcmmod
+
+    class _ShardedBDPT(bdptmod.BDPT):
+        """BDPT whose passes run SPMD over a device mesh (sharded_bdpt_pass)."""
+
+        def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
+            self.mesh = mesh or make_mesh()
+            super().__init__(replicate_scene(scene, self.mesh),
+                             width, height, **kw)
+
+        def render_pass(self, scene, film, pass_idx):
+            return sharded_bdpt_pass(scene, film, pass_idx, self.mesh,
+                                     self.width, self.height,
+                                     max_depth=self.max_depth,
+                                     active_types=self.active_types)
+
+    class _ShardedLightTracer(ltmod.LightTracer):
+        """LightTracer with light paths sharded over a mesh (splat psum)."""
+
+        def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
+            self.mesh = mesh or make_mesh()
+            super().__init__(replicate_scene(scene, self.mesh),
+                             width, height, **kw)
+
+        def render_pass(self, scene, film, pass_idx):
+            return sharded_lt_pass(scene, film, pass_idx, self.mesh,
+                                   self.width, self.height,
+                                   max_depth=self.max_depth,
+                                   n_paths=self.n_paths,
+                                   active_types=self.active_types)
+
+    class _ShardedPPMTracer(ppmmod.PPMTracer):
+        """Surface PPM with photon shards all_gather'ed over the mesh.
+
+        Global-radius surface transport only (adaptive per-pixel radii and
+        the volumetric estimators keep per-chip state the simple replicated
+        schedule cannot shard; use the single-device PPMTracer for those)."""
+
+        def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
+            if kw.get("adaptive_radii") or kw.get("final_gather"):
+                raise ValueError("ShardedPPMTracer: adaptive_radii / "
+                                 "final_gather are single-device features")
+            self.mesh = mesh or make_mesh()
+            super().__init__(replicate_scene(scene, self.mesh),
+                             width, height, **kw)
+            if self.with_volume:
+                raise ValueError("ShardedPPMTracer shards surface transport; "
+                                 "volumetric estimators are single-device")
+
+        def render_pass(self, scene, film, pass_idx):
+            film = sharded_ppm_pass(scene, film, pass_idx, self.mesh,
+                                    self.width, self.height,
+                                    radius=self.radius,
+                                    n_photons=self.n_photons,
+                                    max_depth=self.max_depth,
+                                    active_types=self.active_types)
+            i = self.pass_idx + 1.0
+            self.radius = float(self.radius
+                                * ((i + self.alpha) / (i + 1.0)) ** 0.5)
+            self.photons_emitted += self.n_photons
+            return film
+
+    class _ShardedVCM(vcmmod.VCM):
+        """VCM with pixels sharded and the photon map all_gather'ed."""
+
+        def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
+            self.mesh = mesh or make_mesh()
+            super().__init__(replicate_scene(scene, self.mesh),
+                             width, height, **kw)
+
+        def render_pass(self, scene, film, pass_idx):
+            i = max(self.pass_idx + 1, 1)
+            radius = self.initial_radius * (i ** ((self.alpha - 1.0) / 2.0))
+            return sharded_vcm_pass(scene, film, pass_idx, self.mesh,
+                                    self.width, self.height, radius=radius,
+                                    max_depth=self.max_depth,
+                                    active_types=self.active_types)
+
+    return (_ShardedBDPT, _ShardedLightTracer, _ShardedPPMTracer, _ShardedVCM)
+
+
+_SHARDED_LAZY = ("ShardedBDPT", "ShardedLightTracer",
+                 "ShardedPPMTracer", "ShardedVCM")
+_sharded_cache: dict = {}
+
+
+def __getattr__(name):
+    if name in _SHARDED_LAZY:
+        if not _sharded_cache:
+            _sharded_cache.update(zip(_SHARDED_LAZY,
+                                      _define_sharded_tracers()))
+        return _sharded_cache[name]
+    raise AttributeError(name)

@@ -137,3 +137,23 @@ def test_sharded_bdpt_matches_single_device():
     tr = bdptmod.BDPT(scene, w, h, max_depth=3)
     img_single = np.asarray(tr.render(1))
     np.testing.assert_allclose(img_sharded, img_single, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_tracer_classes_render():
+    """The sharded tracer classes (the CLI --devices surface) run multi-pass
+    progressive renders with their radius/pass schedules intact."""
+    w = h = 16
+    scene = example_scenes.cornell_box(w, h, spheres=False).build()
+    mesh = prender.make_mesh(8)
+    for cls, kw in ((prender.ShardedPathTracer, {"max_depth": 3}),
+                    (prender.ShardedBDPT, {"max_depth": 3}),
+                    (prender.ShardedLightTracer, {"max_depth": 3}),
+                    (prender.ShardedPPMTracer,
+                     {"max_depth": 3, "initial_radius": 0.08}),
+                    (prender.ShardedVCM,
+                     {"max_depth": 3, "initial_radius": 0.08})):
+        tr = cls(scene, w, h, mesh=mesh, **kw)
+        img = np.asarray(tr.render(2))
+        assert np.isfinite(img).all() and img.mean() > 0, cls.__name__
+    assert tr.pass_idx == 2
