@@ -61,6 +61,11 @@ class BsdfCtx(NamedTuple):
     n2_params: Array
     n2_c0: Array
     n2_c1: Array
+    # (B,) hero wavelength in um — set by the SPECTRAL integrator only.
+    # Dispersive dielectrics then refract with the continuous eta(lambda)
+    # instead of the RGB channel roulette (true hero-wavelength dispersion,
+    # beyond the reference's 3-channel DispersionCauchy).
+    lam_um: Array = None
 
     def nested_ctx(self) -> "BsdfCtx":
         z = jnp.full_like(self.n_type, schema.BSDF_DIFFUSE)
@@ -282,12 +287,19 @@ def _dielectric_sample(ctx, wi, u):
     disp_b = ctx.params[:, 23]
     eta_base = ctx.params[:, 4]
     dispersive = disp_b > 0.0
-    lam2 = jnp.asarray([0.610 ** 2, 0.550 ** 2, 0.465 ** 2])  # um^2, RGB
-    eta_rgb = eta_base[:, None] + disp_b[:, None] / lam2[None, :]
-    chan = jnp.clip((u[..., 2] * 3.0).astype(jnp.int32), 0, 2)
-    oh = jnp.arange(3)[None, :] == chan[:, None]
-    eta_chan = jnp.sum(jnp.where(oh, eta_rgb, 0.0), axis=1)
-    eta = jnp.where(dispersive, eta_chan, eta_base)
+    if ctx.lam_um is not None:
+        # HERO-WAVELENGTH dispersion (spectral integrator): continuous
+        # eta(lambda_hero) via Cauchy; no channel roulette — the integrator
+        # collapses the companion wavelengths after a dispersive delta event
+        eta_h = eta_base + disp_b / jnp.maximum(ctx.lam_um * ctx.lam_um, 1e-6)
+        eta = jnp.where(dispersive, eta_h, eta_base)
+    else:
+        lam2 = jnp.asarray([0.610 ** 2, 0.550 ** 2, 0.465 ** 2])  # um^2, RGB
+        eta_rgb = eta_base[:, None] + disp_b[:, None] / lam2[None, :]
+        chan = jnp.clip((u[..., 2] * 3.0).astype(jnp.int32), 0, 2)
+        oh = jnp.arange(3)[None, :] == chan[:, None]
+        eta_chan = jnp.sum(jnp.where(oh, eta_rgb, 0.0), axis=1)
+        eta = jnp.where(dispersive, eta_chan, eta_base)
     F, cos_t = fresnel.fresnel_dielectric_ext(wi[..., 2], eta)
     reflect = u[..., 0] < F
     wo_r = _mirror(wi)
@@ -298,10 +310,12 @@ def _dielectric_sample(ctx, wi, u):
     factor = jnp.where(cos_t < 0, 1.0 / eta, eta)
     w_t = ctx.c1 * (factor * factor)[..., None]
     weight = jnp.where(reflect[..., None], ctx.c0, w_t)
-    # dispersive lanes are monochromatic either way (F is channel-dependent):
-    # isolate the sampled channel with x3 roulette compensation
-    chan_mask = jnp.where(oh, 3.0, 0.0)
-    weight = jnp.where(dispersive[..., None], weight * chan_mask, weight)
+    if ctx.lam_um is None:
+        # dispersive lanes are monochromatic either way (F is channel-
+        # dependent): isolate the sampled channel with x3 roulette
+        # compensation (RGB mode; spectral mode collapses in the integrator)
+        chan_mask = jnp.where(oh, 3.0, 0.0)
+        weight = jnp.where(dispersive[..., None], weight * chan_mask, weight)
     stype = jnp.where(reflect, records.T_DELTA_REFLECTION, records.T_DELTA_TRANSMISSION)
     eta_out = jnp.where(reflect, 1.0, jnp.where(cos_t < 0, eta, 1.0 / eta))
     pdf = jnp.where(reflect, F, 1.0 - F)

@@ -198,6 +198,10 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                                  active_types=active_types,
                                  with_textures=with_textures,
                                  ewa=(ewa_dir, major), extra=si.extra)
+        if C:
+            # hero-wavelength dispersion: dielectrics refract with the
+            # continuous eta(lambda_hero) (nm -> um)
+            ctx = ctx._replace(lam_um=lam[:, 0] * 1e-3)
         if regularize:
             ctx = bsdfmod.regularize_ctx(ctx, had_smooth, regularize_alpha)
         frame = si.frame()
@@ -309,7 +313,25 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             entering = toggle & ~ins_med
             ins_mat = jnp.where(entering, si.mat_id, ins_mat)
             ins_med = jnp.where(toggle, ~ins_med, ins_med)
-        beta_next = beta * up(weight)
+        w_up = up(weight)
+        if C > 1:
+            # a dispersive delta event makes the path monochromatic: the
+            # direction is only valid for the hero wavelength. Collapse the
+            # companions (zero them) and scale the hero by C — unbiased
+            # because the hero is uniform over the span, and applied only on
+            # the FIRST such event (companions are exactly 0 afterwards, so
+            # `not_collapsed` turns off and no further xC accumulates).
+            not_collapsed = jnp.max(jnp.abs(beta[:, 1:]), axis=-1) > 0
+            mono = (hit_l & ((s.sampled_type & records.T_DELTA) != 0)
+                    & (ctx.mat_type == schema.BSDF_DIELECTRIC)
+                    & (ctx.params[:, 23] > 0.0) & not_collapsed)
+            if with_media:
+                mono = mono & ~med_event
+            if with_alpha:
+                mono = mono & ~alpha_pass
+            hero1 = (jnp.arange(C) == 0).astype(w_up.dtype)[None, :] * C
+            w_up = jnp.where(mono[:, None], w_up * hero1, w_up)
+        beta_next = beta * w_up
         cont = hit_l | med_event | alpha_pass | bss_scatter
         alive = cont & (jnp.max(jnp.abs(weight), axis=-1) > 0) & (depth + 1 < max_depth)
 
