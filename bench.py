@@ -249,12 +249,38 @@ CONFIGS = {
 }
 
 
+def _preflight(timeout_s: float = 120.0) -> bool:
+    """Cheap liveness probe: the axon tunnel can hang indefinitely (observed
+    round 3: even an 8-element sum never returns). Without this, each config
+    burns its full 1800 s subprocess timeout on a dead tunnel."""
+    import subprocess
+    import sys
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print('OK', float(jnp.arange(8).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "OK" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import subprocess
     import sys
 
     if len(sys.argv) > 1:  # child mode: run one config, print one JSON line
         print(json.dumps(CONFIGS[sys.argv[1]]()), flush=True)
+        return
+
+    if not _preflight():
+        print(json.dumps({
+            "metric": "path-tracer throughput (Cornell 512x512, depth 6, "
+                      "NEE+MIS, live rays)",
+            "value": None, "unit": "Mrays/s", "vs_baseline": None,
+            "error": "device backend unreachable: a trivial 8-element "
+                     "reduction did not complete within 120s (tunnel down); "
+                     "no configs were run"}), flush=True)
         return
 
     # each config runs in its own process: one config's readbacks/state must
