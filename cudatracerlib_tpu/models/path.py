@@ -94,7 +94,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
     def bounce(depth, carry):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-         nrays, niters, nrows, ins_med, ins_mat) = carry
+         nrays, niters, nrows, ins_med, ins_mat, mono_done) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         # live-ray counter (reference g_RayTracedCounter semantics: count only
@@ -319,18 +319,20 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
             # direction is only valid for the hero wavelength. Collapse the
             # companions (zero them) and scale the hero by C — unbiased
             # because the hero is uniform over the span, and applied only on
-            # the FIRST such event (companions are exactly 0 afterwards, so
-            # `not_collapsed` turns off and no further xC accumulates).
-            not_collapsed = jnp.max(jnp.abs(beta[:, 1:]), axis=-1) > 0
+            # the FIRST such event (tracked by the mono_done carry flag —
+            # inferring it from zeroed companion betas would be wrong when a
+            # companion is legitimately 0, e.g. a saturated red wall zeroes
+            # the blue wavelengths, and would drop the hero's xC).
             mono = (hit_l & ((s.sampled_type & records.T_DELTA) != 0)
                     & (ctx.mat_type == schema.BSDF_DIELECTRIC)
-                    & (ctx.params[:, 23] > 0.0) & not_collapsed)
+                    & (ctx.params[:, 23] > 0.0) & ~mono_done)
             if with_media:
                 mono = mono & ~med_event
             if with_alpha:
                 mono = mono & ~alpha_pass
             hero1 = (jnp.arange(C) == 0).astype(w_up.dtype)[None, :] * C
             w_up = jnp.where(mono[:, None], w_up * hero1, w_up)
+            mono_done = mono_done | mono
         beta_next = beta * w_up
         cont = hit_l | med_event | alpha_pass | bss_scatter
         alive = cont & (jnp.max(jnp.abs(weight), axis=-1) > 0) & (depth + 1 < max_depth)
@@ -349,11 +351,11 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
                 next_pdf, is_delta, nxt, state, had_smooth2, nrays,
-                niters, nrows, ins_med, ins_mat)
+                niters, nrows, ins_med, ins_mat, mono_done)
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-             jnp.zeros(B, bool), jnp.zeros(B, jnp.int32))
+             jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
     carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
     L_out = carry[0]
     if C:
