@@ -111,7 +111,14 @@ def main(argv=None):
     ap.add_argument("--debug-pixel", default=None, help="x,y: print one-pixel debug info")
     ap.add_argument("--devices", type=int, default=1,
                     help="render SPMD over N devices (PT/BDPT/PPM/VCM/LT)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="fail fast on the first NaN produced by any pass "
+                         "(jax_debug_nans; the functional counterpart of the "
+                         "reference's CTL_ASSERT device checks)")
     a = ap.parse_args(argv)
+    if a.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from .models import film as filmmod
     from .models import pipeline
