@@ -184,9 +184,14 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv,
                                     active_types=active_types)
         f, pdf_f, pdf_r = _eval_with_rev(ctx_lv, lv.wi_local, wo_cam, active_types)
-        # image-to-surface factor in pixel units (We * dist^-2 * cos)
-        we = sd.weight[:, 0] * (w * h)  # pixel-units importance
-        w_light = _mis(we / n_paths) * (lv.dvcm + lv.dvc * _mis(pdf_r))
+        we = sd.weight[:, 0] * (w * h)  # pixel-units importance We/dist^2
+        # MIS partner density: the t>=2 strategies sample this vertex with
+        # cameraPdfA = We/dist^2 * |cos at the SURFACE toward the camera|
+        # (SmallVCM imageToSurfaceFactor). Omitting the cosine inflated
+        # w_light by 1/cos and under-weighted every splat (wall-darkening
+        # bias found round 3 via the 2-segment strategy-sum probe).
+        cam_pdf_a = we * jnp.abs(wo_cam[..., 2])
+        w_light = _mis(cam_pdf_a / n_paths) * (lv.dvcm + lv.dvc * _mis(pdf_r))
         mis_w = 1.0 / (w_light + 1.0)
         contrib = lv.beta * f * (we / n_paths)[:, None] * mis_w[:, None]
         shadow = traversal.Rays(

@@ -133,7 +133,11 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         ctx_lv = bsdfmod.gather_ctx(scene, lv.mat_id, lv.uv)
         f, pdf_f, pdf_r = bdptmod._eval_with_rev(ctx_lv, lv.wi_local, wo_cam, active_types)
         we = sd.weight[:, 0] * (w * h)
-        w_light = _mis(we / n_paths) * (mis_vm_w + lv.dvcm + lv.dvc * _mis(pdf_r))
+        # cameraPdfA includes the surface cosine toward the camera (see the
+        # matching fix + derivation in bdpt.splat_step)
+        cam_pdf_a = we * jnp.abs(wo_cam[..., 2])
+        w_light = _mis(cam_pdf_a / n_paths) * (mis_vm_w + lv.dvcm
+                                               + lv.dvc * _mis(pdf_r))
         mis_w = 1.0 / (w_light + 1.0)
         contrib = lv.beta * f * (we / n_paths)[:, None] * mis_w[:, None]
         shadow = traversal.Rays(

@@ -86,7 +86,18 @@ def test_equal_spp_convergence_matrix():
     for name, img in imgs.items():
         if name == "pt":
             continue
-        rel = np.sqrt(np.mean((blk(img) - ref) ** 2)) / ref.mean()
-        assert rel < 0.08, (name, float(rel))
-        # and mean brightness parity, the cheapest MIS-weight tripwire
-        assert abs(img.mean() / imgs["pt"].mean() - 1.0) < 0.05, name
+        b = blk(img)
+        # median blockwise relative error: sensitive to systematic transport
+        # bias (the round-3 BDPT splat-MIS bug put a 26% deficit on every
+        # wall block) but robust to the bright emitter blocks whose splat
+        # noise dominates a blockwise RMS at these budgets (measured
+        # healthy: <=0.022 across all four families; RMS was 0.08-0.12 of
+        # pure noise)
+        relmed = np.median(np.abs(b - ref) / (ref + 0.05))
+        assert relmed < 0.04, (name, float(relmed))
+        # catastrophic backstop on the RMS
+        rel = np.sqrt(np.mean((b - ref) ** 2)) / ref.mean()
+        assert rel < 0.2, (name, float(rel))
+        # mean brightness parity, the cheapest MIS-weight tripwire
+        # (measured <=0.008 post-fix; the bug measured 0.035)
+        assert abs(img.mean() / imgs["pt"].mean() - 1.0) < 0.02, name
