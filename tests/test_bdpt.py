@@ -46,3 +46,27 @@ def test_bdpt_glass_caustic_scene():
     img = np.asarray(bdptmod.BDPT(scene, 24, 24, max_depth=5).render(12))
     assert np.isfinite(img).all()
     assert img.mean() > 0.05
+
+
+@pytest.mark.slow
+def test_two_segment_strategy_weights_sum_to_pt_direct():
+    """The 2-segment path class camera->x->light is sampled by exactly three
+    BDPT strategies — NEE (s=1,t=2), emitter hit (s=0,t=3), splat (s=2,t=1)
+    — plus the directly-visible emitter (s=0,t=2). Their MIS weights must
+    sum to 1, so the force_s x force_t family renders must sum to PT at
+    max_depth=1 (which integrates the same class with its own 2-way MIS).
+    This is the probe that caught the round-3 splat-MIS cosine bug (the sum
+    came out 30% low on grazing walls)."""
+    w = h = 32
+    scene = example_scenes.cornell_box(w, h).build()
+    pt1 = np.asarray(pathmod.PathTracer(scene, w, h, max_depth=1,
+                                        spp_per_pass=8).render(24))
+    tot = 0.0
+    for (s, t) in ((0, 2), (0, 3), (1, 2), (2, 1)):
+        tot = tot + np.asarray(bdptmod.BDPT(scene, w, h, max_depth=2,
+                                         force_s=s, force_t=t).render(48))
+    assert abs(tot.mean() / pt1.mean() - 1.0) < 0.02, (tot.mean(), pt1.mean())
+    # the red wall is the grazing-view region where the bug was 30% low
+    red = (slice(8, 24), slice(0, 4))
+    assert abs(tot[red].mean() / pt1[red].mean() - 1.0) < 0.05, (
+        tot[red].mean(), pt1[red].mean())
