@@ -58,7 +58,11 @@ def _emission_pdfs(scene, ed: lightsmod.EmitterDirect):
                      jnp.take(scene.lights.power_cdf, jnp.maximum(ed.light_idx - 1, 0)), 0.0)
     sel = jnp.maximum(jnp.take(scene.lights.power_cdf, ed.light_idx) - prev, 1e-12)
     p = jnp.take(scene.lights.params, ed.light_idx, axis=0)
-    cos_l = jnp.where(ed.is_delta, 1.0, jnp.maximum(vm.dot(ed.n, -ed.d), 1e-6))
+    # env records carry n=0 (no surface at infinity): cosAtLight is 1 by the
+    # background-light convention, NOT the 1e-6 clamp (which exploded the
+    # s=1 partner weight and annihilated direct env lighting)
+    no_surface = ed.is_delta | (ltype == schema.LIGHT_INFINITE)
+    cos_l = jnp.where(no_surface, 1.0, jnp.maximum(vm.dot(ed.n, -ed.d), 1e-6))
     area = jnp.maximum(p[:, 6], 1e-12)
     # area light: emission pdf = (sel/A) * cos/pi ; direct pdf (solid angle)
     emission_area = sel / area * cos_l / jnp.pi
@@ -122,8 +126,15 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     emission_pdf_w = jnp.maximum(er.pdf_pos * er.pdf_dir, 1e-16)
     cos_at_l = jnp.where(jnp.any(er.n != 0, -1),
                          jnp.maximum(vm.dot(er.n, er.d), 1e-6), 1.0)
-    # direct pdf in area measure (for the s=0 partner weight)
-    direct_pdf_a = er.pdf_pos
+    # direct pdf (for the s=0 partner weight): area measure for surface
+    # lights; for the INFINITE light the roles swap (SmallVCM background
+    # convention) — the s=0 partner "hits" the env with the solid-angle
+    # direction pdf, while the disk position pdf plays the emission extra
+    is_env_l = ltype == schema.LIGHT_INFINITE
+    lp_l = jnp.take(scene.lights.params, er.light_idx, axis=0)
+    area_env = jnp.pi * jnp.maximum(lp_l[:, 7], 1e-3) ** 2
+    direct_pdf_a = jnp.where(is_env_l, er.pdf_dir * er.pdf_pos * area_env,
+                             er.pdf_pos)
     beta_l = er.power / n_paths * (w * h)  # = er.power for n_paths == w*h
     dvcm0 = _mis(direct_pdf_a / emission_pdf_w)
     dvc0 = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
@@ -247,6 +258,22 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         mis_w = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam))
         hit_mask = alive & use_mask(0, t_fam)
         L = L + jnp.where(hit_mask[:, None], beta_c * le * mis_w[:, None], 0.0)
+
+        # ---------- s=0 at infinity: escaped rays hit the env light --------
+        if lightsmod.has_env_static(scene.lights):
+            env_le = lightsmod.eval_environment(scene, rays.d)
+            pdf_env_d = lightsmod.pdf_env_direct(scene, rays.d)  # dir pdf*sel
+            env_row = jnp.argmax(scene.lights.light_type
+                                 == schema.LIGHT_INFINITE)
+            wr = jnp.maximum(scene.lights.params[env_row, 7], 1e-3)
+            # SmallVCM background convention: no dist^2/cos surface
+            # conversion — raw dVCM/dVC with (dir pdf, dir*disk-pos pdf)
+            w_cam_env = (_mis(pdf_env_d) * dvcm_c
+                         + _mis(pdf_env_d / (jnp.pi * wr * wr)) * dvc_c)
+            mis_env = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam_env))
+            env_mask = active_c & ~hit.valid & use_mask(0, t_fam)
+            L = L + jnp.where(env_mask[:, None],
+                              beta_c * env_le * mis_env[:, None], 0.0)
 
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv,
                                  active_types=active_types)

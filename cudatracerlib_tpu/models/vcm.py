@@ -63,7 +63,12 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     emission_pdf_w = jnp.maximum(er.pdf_pos * er.pdf_dir, 1e-16)
     cos_at_l = jnp.where(jnp.any(er.n != 0, -1),
                          jnp.maximum(vm.dot(er.n, er.d), 1e-6), 1.0)
-    direct_pdf_a = er.pdf_pos
+    # env light: direct pdf is the solid-angle direction pdf (see bdpt.py)
+    is_env_l = ltype == schema.LIGHT_INFINITE
+    lp_l = jnp.take(scene.lights.params, er.light_idx, axis=0)
+    area_env = jnp.pi * jnp.maximum(lp_l[:, 7], 1e-3) ** 2
+    direct_pdf_a = jnp.where(is_env_l, er.pdf_dir * er.pdf_pos * area_env,
+                             er.pdf_pos)
     beta_l = er.power
     dvcm = _mis(direct_pdf_a / emission_pdf_w)
     dvc = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
@@ -189,6 +194,20 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         w_cam0 = _mis(sel / area) * dvcm_h + _mis(sel / area * cos_l0 / jnp.pi) * dvc_h
         mis_w0 = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam0))
         L = L + jnp.where(alive[:, None], beta_c * le * mis_w0[:, None], 0.0)
+
+        # s=0 at infinity: escaped rays hit the env light (see bdpt.py)
+        if lightsmod.has_env_static(scene.lights):
+            env_le = lightsmod.eval_environment(scene, rays.d)
+            pdf_env_d = lightsmod.pdf_env_direct(scene, rays.d)
+            env_row = jnp.argmax(scene.lights.light_type
+                                 == schema.LIGHT_INFINITE)
+            wr = jnp.maximum(scene.lights.params[env_row, 7], 1e-3)
+            w_cam_env = (_mis(pdf_env_d) * dvcm_c
+                         + _mis(pdf_env_d / (jnp.pi * wr * wr)) * dvc_c)
+            mis_env = jnp.where(t_idx == 0, 1.0, 1.0 / (1.0 + w_cam_env))
+            env_mask = active_c & ~hit.valid
+            L = L + jnp.where(env_mask[:, None],
+                              beta_c * env_le * mis_env[:, None], 0.0)
 
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv)
         frame = si.frame()

@@ -70,3 +70,69 @@ def test_two_segment_strategy_weights_sum_to_pt_direct():
     red = (slice(8, 24), slice(0, 4))
     assert abs(tot[red].mean() / pt1[red].mean() - 1.0) < 0.05, (
         tot[red].mean(), pt1[red].mean())
+
+
+@pytest.mark.slow
+def test_bdpt_vcm_env_light_match_pt():
+    """Environment-lit scene: BDPT and VCM must agree with PT (round-3 gap:
+    neither had the s=0-at-infinity strategy, so skies were black through
+    them; the light-subpath init also needed the background-light measure
+    swap for the MIS partners)."""
+    from cudatracerlib_tpu.models import vcm as vcmmod
+    from cudatracerlib_tpu.scene import sensors, shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+    from cudatracerlib_tpu.utils.example_scenes import _sky_envmap
+    w = h = 24
+    sc = host.DynamicScene()
+    m = sc.add_material(host.MaterialSpec(reflectance=(0.6, 0.5, 0.4)))
+    sc.create_node(shapes.rectangle(), m,
+                   tf.compose(tf.translate([0, -0.5, 1.5]),
+                              tf.rotate_deg([1, 0, 0], -90), tf.scale(3)))
+    sc.create_node(shapes.rectangle(), m,
+                   tf.compose(tf.translate([0, 0.5, 2.5]),
+                              tf.rotate_deg([0, 1, 0], 180), tf.scale(1.5)))
+    sc.set_environment(_sky_envmap(32, 64))
+    sc.set_sensor(sensors.make_sensor(
+        schema.SENSOR_PERSPECTIVE, tf.look_at([0, 0.3, -2], [0, 0, 1.5]),
+        fov_x_deg=50, film_w=w, film_h=h))
+    scene = sc.build()
+    pt = np.asarray(pathmod.PathTracer(scene, w, h, max_depth=4,
+                                       spp_per_pass=4).render(12))
+    bd = np.asarray(bdptmod.BDPT(scene, w, h, max_depth=4).render(24))
+    vc = np.asarray(vcmmod.VCM(scene, w, h, max_depth=4).render(16))
+    # 10%: the sun disc makes small-budget means noisy (the exactness claim
+    # is the furnace test below; pre-fix BDPT was 35% low / sky black)
+    assert abs(bd.mean() / pt.mean() - 1.0) < 0.10, (bd.mean(), pt.mean())
+    assert abs(vc.mean() / pt.mean() - 1.0) < 0.10, (vc.mean(), pt.mean())
+    # the sky itself must be visible through both (was black)
+    sky = (slice(0, 4), slice(8, 16))
+    assert bd[sky].mean() > 0.5 * pt[sky].mean()
+    assert vc[sky].mean() > 0.5 * pt[sky].mean()
+
+
+@pytest.mark.slow
+def test_env_white_furnace_all_integrators():
+    """Uniform env = 1 around a unit-albedo sphere: every transport family
+    must return exactly 1 everywhere (the sharpest unbiasedness check for
+    the env-light strategies; measured PT 1.0001 / BDPT 1.0034 / VCM 1.0055
+    at these budgets)."""
+    from cudatracerlib_tpu.models import vcm as vcmmod
+    from cudatracerlib_tpu.scene import sensors, shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+    w = h = 16
+    sc = host.DynamicScene()
+    m = sc.add_material(host.MaterialSpec(reflectance=(1.0, 1.0, 1.0)))
+    sc.create_node(shapes.sphere(radius=0.6, n_theta=12, n_phi=24), m,
+                   tf.translate([0, 0, 1.5]))
+    sc.set_environment(np.ones((16, 32, 3), np.float32))
+    sc.set_sensor(sensors.make_sensor(
+        schema.SENSOR_PERSPECTIVE, tf.look_at([0, 0, -1], [0, 0, 1.5]),
+        fov_x_deg=40, film_w=w, film_h=h))
+    scene = sc.build()
+    pt = np.asarray(pathmod.PathTracer(scene, w, h, max_depth=8,
+                                       spp_per_pass=8).render(8))
+    bd = np.asarray(bdptmod.BDPT(scene, w, h, max_depth=8).render(24))
+    vc = np.asarray(vcmmod.VCM(scene, w, h, max_depth=8).render(12))
+    np.testing.assert_allclose(pt.mean(), 1.0, atol=0.01)
+    np.testing.assert_allclose(bd.mean(), 1.0, atol=0.02)
+    np.testing.assert_allclose(vc.mean(), 1.0, atol=0.02)
