@@ -77,7 +77,16 @@ def _emission_pdfs(scene, ed: lightsmod.EmitterDirect):
                jnp.where(ltype == schema.LIGHT_SPOT, emission_spot,
                jnp.where(ltype == schema.LIGHT_DISTANT, emission_dist,
                          jnp.maximum(ed.pdf, 1e-12) / (jnp.pi * world_r * world_r)))))
-    direct_w = jnp.where(ed.is_delta, sel, jnp.maximum(ed.pdf, 1e-12))
+    # the "direct pdf" the MIS ratios divide by (SmallVCM Illuminate
+    # conventions): position-delta lights (point/spot) fold dist^2 so the
+    # emission/direct ratio lands in the light-trace area measure at the
+    # receiver; the direction-delta distant light stays at the pick prob
+    # (no dist^2 — its emission pdf already carries the 1/(pi R^2) disk).
+    # Getting these wrong put BDPT/VCM 32%/22%/15% off PT per light type.
+    is_dist = ltype == schema.LIGHT_DISTANT
+    direct_w = jnp.where(ed.is_delta,
+                         jnp.where(is_dist, sel, sel * ed.dist * ed.dist),
+                         jnp.maximum(ed.pdf, 1e-12))
     return direct_w, emission, cos_l
 
 
@@ -126,15 +135,20 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     emission_pdf_w = jnp.maximum(er.pdf_pos * er.pdf_dir, 1e-16)
     cos_at_l = jnp.where(jnp.any(er.n != 0, -1),
                          jnp.maximum(vm.dot(er.n, er.d), 1e-6), 1.0)
-    # direct pdf (for the s=0 partner weight): area measure for surface
-    # lights; for the INFINITE light the roles swap (SmallVCM background
-    # convention) — the s=0 partner "hits" the env with the solid-angle
-    # direction pdf, while the disk position pdf plays the emission extra
+    # direct pdf (for the NEE-partner weights): area measure for surface
+    # lights; for INFINITE lights the roles swap (SmallVCM background
+    # convention: the partner samples the DIRECTION, so use the solid-angle
+    # pdf x pick); DISTANT lights are direction-deltas whose NEE partner
+    # density is just the pick prob (not the emission disk's 1/(pi R^2))
+    prev_l = jnp.where(er.light_idx > 0,
+                       jnp.take(scene.lights.power_cdf,
+                                jnp.maximum(er.light_idx - 1, 0)), 0.0)
+    sel_l = jnp.maximum(jnp.take(scene.lights.power_cdf, er.light_idx)
+                        - prev_l, 1e-12)
     is_env_l = ltype == schema.LIGHT_INFINITE
-    lp_l = jnp.take(scene.lights.params, er.light_idx, axis=0)
-    area_env = jnp.pi * jnp.maximum(lp_l[:, 7], 1e-3) ** 2
-    direct_pdf_a = jnp.where(is_env_l, er.pdf_dir * er.pdf_pos * area_env,
-                             er.pdf_pos)
+    is_dist_l = ltype == schema.LIGHT_DISTANT
+    direct_pdf_a = jnp.where(is_env_l, er.pdf_dir * sel_l,
+                             jnp.where(is_dist_l, sel_l, er.pdf_pos))
     beta_l = er.power / n_paths * (w * h)  # = er.power for n_paths == w*h
     dvcm0 = _mis(direct_pdf_a / emission_pdf_w)
     dvc0 = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
@@ -143,7 +157,7 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                            tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
 
     def light_step(carry, li):
-        rays, state, beta_l, dvc, dvcm, active, nrays = carry
+        rays, state, beta_l, dvc, dvcm, active, nrays, skip_d2 = carry
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
         nrays = nrays + jnp.sum(active.astype(jnp.float32))
         hit = traversal8.intersect_scene(geom, trace_rays)
@@ -151,7 +165,10 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         alive = active & hit.valid
         dist2 = jnp.maximum(hit.t * hit.t, 1e-12)
         cos_in = jnp.maximum(vm.absdot(si.ns, si.wi), 1e-6)
-        dvcm_h = dvcm * _mis(dist2) / _mis(cos_in)
+        # INFINITE lights (distant/env) emit parallel beams from the far
+        # disk: the solid-angle -> area dist^2 factor does not apply at
+        # their FIRST hit (SmallVCM mIsFiniteLight convention)
+        dvcm_h = dvcm * jnp.where(skip_d2, 1.0, _mis(dist2)) / _mis(cos_in)
         dvc_h = dvc / _mis(cos_in)
         ctx = bsdfmod.gather_ctx(scene, si.mat_id, si.uv,
                                  active_types=active_types)
@@ -177,11 +194,12 @@ def bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         wo_world = frame.to_world(s.wo)
         rays = traversal.Rays(o=shading.offset_ray_origin(si.p, si.ng, wo_world),
                               d=wo_world, tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
-        return (rays, state, beta_l, dvc, dvcm, active, nrays), lv
+        return (rays, state, beta_l, dvc, dvcm, active, nrays,
+                jnp.zeros_like(skip_d2)), lv
 
     carry0 = (rays0, state, beta_l, dvc0, dvcm0, jnp.ones(B, bool),
-              jnp.float32(0.0))
-    (_, state, _, _, _, _, nrays), lvs = jax.lax.scan(
+              jnp.float32(0.0), is_env_l | is_dist_l)
+    (_, state, _, _, _, _, nrays, _), lvs = jax.lax.scan(
         light_step, carry0, jnp.arange(NUM_LIGHT_V, dtype=jnp.int32))
     # lvs: LightVertex pytree with leading axis NUM_LIGHT_V
 

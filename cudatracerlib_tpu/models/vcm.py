@@ -63,12 +63,16 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     emission_pdf_w = jnp.maximum(er.pdf_pos * er.pdf_dir, 1e-16)
     cos_at_l = jnp.where(jnp.any(er.n != 0, -1),
                          jnp.maximum(vm.dot(er.n, er.d), 1e-6), 1.0)
-    # env light: direct pdf is the solid-angle direction pdf (see bdpt.py)
+    # per-light-type direct pdf for the MIS partners (see bdpt.py)
+    prev_l = jnp.where(er.light_idx > 0,
+                       jnp.take(scene.lights.power_cdf,
+                                jnp.maximum(er.light_idx - 1, 0)), 0.0)
+    sel_l = jnp.maximum(jnp.take(scene.lights.power_cdf, er.light_idx)
+                        - prev_l, 1e-12)
     is_env_l = ltype == schema.LIGHT_INFINITE
-    lp_l = jnp.take(scene.lights.params, er.light_idx, axis=0)
-    area_env = jnp.pi * jnp.maximum(lp_l[:, 7], 1e-3) ** 2
-    direct_pdf_a = jnp.where(is_env_l, er.pdf_dir * er.pdf_pos * area_env,
-                             er.pdf_pos)
+    is_dist_l = ltype == schema.LIGHT_DISTANT
+    direct_pdf_a = jnp.where(is_env_l, er.pdf_dir * sel_l,
+                             jnp.where(is_dist_l, sel_l, er.pdf_pos))
     beta_l = er.power
     dvcm = _mis(direct_pdf_a / emission_pdf_w)
     dvc = jnp.where(is_delta_l, 0.0, _mis(cos_at_l / emission_pdf_w))
@@ -87,6 +91,9 @@ def vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
         alive = active & hit.valid
         dist2 = jnp.maximum(hit.t * hit.t, 1e-12)
         cos_in = jnp.maximum(vm.absdot(si.ns, si.wi), 1e-6)
+        if li == 0:
+            # INFINITE lights: no dist^2 at the first hit (see bdpt.py)
+            dist2 = jnp.where(is_env_l | is_dist_l, 1.0, dist2)
         dvcm_h = dvcm * _mis(dist2) / _mis(cos_in)
         dvc_h = dvc / _mis(cos_in)
         dvm_h = dvm / _mis(cos_in)
