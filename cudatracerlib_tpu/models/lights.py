@@ -107,8 +107,13 @@ def _light_fat_rows(lights: schema.LightTable) -> Array:
 
 def _al_tri_rows(scene: schema.SceneData) -> Array:
     """Area-light triangle fat rows [v0 e1 e2 ng] (AT, 12), one gather per
-    sampled emitter triangle (vs tri-id + tris + ng chained gathers)."""
+    sampled emitter triangle (vs tri-id + tris + ng chained gathers).
+    Precomputed at build into LightTable.al_rows (so GeometryTable can drop
+    its (T, 12) intersection-layout duplicate); the gather fallback serves
+    hand-built tables in tests."""
     lights = scene.lights
+    if lights.al_rows is not None:
+        return lights.al_rows
     trows = jnp.take(scene.geom.tris, lights.al_tris, axis=0)[:, 0:9]
     ngs = jnp.take(scene.geom.ng, lights.al_tris, axis=0)
     return jnp.concatenate([trows, ngs], axis=1)

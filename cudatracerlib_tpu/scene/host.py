@@ -127,6 +127,21 @@ def _pack_material(spec: MaterialSpec, mats: list, texs: list) -> int:
     return len(mats) - 1
 
 
+def _pack_al_rows(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                  al_tris: np.ndarray) -> np.ndarray:
+    """(AT, 12) area-light tri fat rows [v0 e1 e2 ng] (schema.LightTable
+    .al_rows): precomputed so GeometryTable needs no (T, 12) tris table."""
+    if v0.shape[0] == 0:
+        return np.zeros((al_tris.shape[0], 12), np.float32)
+    ids = np.clip(al_tris.astype(np.int64), 0, v0.shape[0] - 1)
+    a = v0[ids].astype(np.float32)
+    e1 = (v1[ids] - v0[ids]).astype(np.float32)
+    e2 = (v2[ids] - v0[ids]).astype(np.float32)
+    ng = np.cross(e1, e2)
+    ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    return np.concatenate([a, e1, e2, ng.astype(np.float32)], axis=-1)
+
+
 class DynamicScene:
     """Mutable host scene; `build()` produces the immutable device SceneData."""
 
@@ -249,15 +264,21 @@ class DynamicScene:
             np.asarray(scene_data.geom.node_id))
         geom = scene_data.geom._replace(
             wide=jnp.asarray(new_wide),
-            tris=jnp.asarray(traversal.pack_tris(v0, v1, v2)),
             ng=jnp.asarray(ng.astype(np.float32)),
             n0=jnp.asarray(n0a, jnp.float32),
             n1=jnp.asarray(n1a, jnp.float32),
             n2=jnp.asarray(n2a, jnp.float32),
             shade=jnp.asarray(shade))
+        # animated EMITTER triangles: refresh the precomputed light rows
+        lights = scene_data.lights
+        if lights.al_rows is not None:
+            al_ids = np.asarray(lights.al_tris)
+            lights = lights._replace(al_rows=jnp.asarray(
+                _pack_al_rows(v0, v1, v2, al_ids)))
         lo = np.minimum(np.minimum(v0, v1), v2).min(0).astype(np.float32)
         hi = np.maximum(np.maximum(v0, v1), v2).max(0).astype(np.float32)
-        out = scene_data._replace(geom=geom, world_lo=jnp.asarray(lo),
+        out = scene_data._replace(geom=geom, lights=lights,
+                                  world_lo=jnp.asarray(lo),
                                   world_hi=jnp.asarray(hi))
         meta = dict(schema.host_meta(scene_data))
         meta.update(world_lo=lo, world_hi=hi)
@@ -404,7 +425,6 @@ class DynamicScene:
             b = bvhmod.build_bvh(v0, v1, v2, max_leaf=bvh8mod.LEAF_TRIS)
             b8 = bvh8mod.collapse_bvh2(b, v0, v1, v2)
         wide = traversal8.pack_unified(b8.nodes, b8.leaves)
-        tris = traversal.pack_tris(v0, v1, v2)
         ng = np.cross(v1 - v0, v2 - v0)
         ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
 
@@ -427,8 +447,10 @@ class DynamicScene:
             tt_top = jnp.asarray(top_np)
             tt_slabs = jnp.asarray(slabs_np)
             tt_vid = jnp.asarray(part.vid_map)
+        # tris=None: the (T, 12) intersection layout would duplicate the
+        # BVH leaf rows; area-light sampling reads LightTable.al_rows instead
         geom = schema.GeometryTable(
-            tris=jnp.asarray(tris), nodes=jnp.asarray(b.nodes),
+            tris=None, nodes=jnp.asarray(b.nodes),
             tri_order=jnp.asarray(b.tri_order), wide=jnp.asarray(wide),
             tt_top=tt_top, tt_slabs=tt_slabs, tt_vid=tt_vid,
             n0=jnp.asarray(n0a, jnp.float32),
@@ -591,7 +613,7 @@ class DynamicScene:
         catp = lambda k: np.concatenate([a[k] for a in all_arrs])
         v0a, v1a, v2a = catp(0), catp(1), catp(2)
         geom = schema.GeometryTable(
-            tris=jnp.asarray(traversal.pack_tris(v0a, v1a, v2a)),
+            tris=None,  # deduplicated; area lights use LightTable.al_rows
             nodes=jnp.zeros((1, 16), jnp.float32),
             tri_order=jnp.arange(v0a.shape[0], dtype=jnp.int32),
             wide=jnp.asarray(np.concatenate(wides)),
@@ -859,6 +881,7 @@ class DynamicScene:
         else:
             al_tris_arr = np.zeros(1, np.int32)
             al_cdf_arr = np.ones(1, np.float32)
+        al_rows_arr = _pack_al_rows(v0, v1, v2, al_tris_arr)
         al_first_arr = np.zeros(L, np.int32)
         al_count_arr = np.zeros(L, np.int32)
         ai = 0
@@ -888,6 +911,7 @@ class DynamicScene:
         return schema.LightTable(
             light_type=jnp.asarray(light_type), params=jnp.asarray(params),
             power_cdf=jnp.asarray(cdf, jnp.float32),
+            al_rows=jnp.asarray(al_rows_arr),
             al_tris=jnp.asarray(al_tris_arr), al_cdf=jnp.asarray(al_cdf_arr),
             al_first=jnp.asarray(al_first_arr), al_count=jnp.asarray(al_count_arr),
             env_map=jnp.asarray(env), env_alias=jnp.asarray(env_alias),

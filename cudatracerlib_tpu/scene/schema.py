@@ -236,6 +236,12 @@ class LightTable(NamedTuple):
     env_pmf: Array     # (He, We) f32 per-pixel selection probability
     env_to_world: Array  # (4, 4) rotation of the env sphere
     env_world_to: Array  # (4, 4) inverse
+    # (AT, 12) f32 precomputed area-light triangle fat rows [v0 e1 e2 ng],
+    # one row per al_tris entry — lets GeometryTable drop its (T, 12)
+    # intersection-layout duplicate (the leaf data already lives in the
+    # fat-row BVH): models/lights._al_tri_rows reads this directly.
+    # Refits/animation refresh it alongside the shade rows.
+    al_rows: Array = None
 
 
 class SensorData(NamedTuple):
@@ -275,7 +281,9 @@ class SceneData(NamedTuple):
 
     @property
     def num_tris(self) -> int:
-        return self.geom.tris.shape[0]
+        # shade rows are exactly one per triangle; geom.tris is optional
+        # (None when the builder deduplicated the leaf data into the BVH)
+        return self.geom.shade.shape[0]
 
     @property
     def num_lights(self) -> int:
