@@ -65,13 +65,15 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
     scene = scene_fn(w, h, **scene_kw).build()
     tr = pathmod.PathTracer(scene, w, h, max_depth=max_depth, spp_per_pass=1,
                             chunk_size=chunk_size)
-    tr.do_pass()          # compile + warm
+    tr.render_batched(1)  # compile + warm the fused executable (n_passes is
+    #                       a traced scalar: one compile covers every batch)
     _drain(tr.film.rgb)   # drain the queue before the clock starts
     floor = _readback_floor(tr.film.rgb)
     c0, i0, r0 = tr._rays_dev, tr._iters_dev, tr._rows_dev
     t0 = time.perf_counter()
-    for _ in range(n_passes):
-        tr.do_pass()
+    # all passes fused into ONE device dispatch (render_batched): per-dispatch
+    # tunnel overhead (~30ms RTT) is paid once, not n_passes x chunks times
+    tr.render_batched(n_passes)
     _drain(tr.film.rgb)   # the clock stops only when results are host-visible
     dt = time.perf_counter() - t0
     rays = float(tr._rays_dev - c0)
@@ -112,7 +114,7 @@ def bench_prim():
     w = h = 512
     scene = example_scenes.cornell_box(w, h).build()
     tr = primmod.PrimTracer(scene, w, h, draw_mode=primmod.D_NORMAL_SHADE)
-    tr.do_pass()
+    tr.render_batched(1)
     _drain(tr.film.rgb)
     floor = _readback_floor(tr.film.rgb)
     # one instrumented traversal of the same camera rays estimates the
@@ -124,8 +126,7 @@ def bench_prim():
     it1, rw1 = float(it1), float(rw1)
     n_passes = 20
     t0 = time.perf_counter()
-    for _ in range(n_passes):
-        tr.do_pass()
+    tr.render_batched(n_passes)   # one fused dispatch for the whole batch
     _drain(tr.film.rgb)
     dt = time.perf_counter() - t0
     mrays = w * h * n_passes / dt / 1e6  # exactly one primary ray per pixel
@@ -175,13 +176,12 @@ def bench_bdpt():
     w = h = 256
     scene = example_scenes.cornell_glass(w, h).build()
     tr = bdptmod.BDPT(scene, w, h, max_depth=6)
-    tr.do_pass()
+    tr.render_batched(1)
     _drain(tr.film.rgb)
     floor = _readback_floor(tr.film.rgb)
     n_passes = 4
     t0 = time.perf_counter()
-    for _ in range(n_passes):
-        tr.do_pass()
+    tr.render_batched(n_passes)   # one fused dispatch for the whole batch
     _drain(tr.film.rgb)
     dt = time.perf_counter() - t0
     paths = w * h * n_passes

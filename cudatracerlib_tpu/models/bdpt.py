@@ -398,11 +398,29 @@ class BDPT(tracer.TracerBase):
         self.active_types = tuple(active_types)
         self._rays_dev = jnp.float32(0.0)   # live rays (reference counter
         #                                     semantics), accumulated on device
-        self._jitted = jax.jit(partial(
+        pass_fn = partial(
             bdpt_pass, w=width, h=height, max_depth=max_depth,
-            active_types=self.active_types, force_s=force_s, force_t=force_t))
+            active_types=self.active_types, force_s=force_s, force_t=force_t)
+        self._jitted = jax.jit(pass_fn)
+
+        def _many(scene, film, nrays, pass0, n_passes):
+            def body(i, carry):
+                f, nr = carry
+                f, dn = pass_fn(scene, f, pass0 + i)
+                return f, nr + dn
+            return jax.lax.fori_loop(0, n_passes, body, (film, nrays))
+        self._jitted_many = jax.jit(_many)
 
     def render_pass(self, scene, film, pass_idx):
         film, nrays = self._jitted(scene, film, jnp.int32(pass_idx))
         self._rays_dev = self._rays_dev + nrays
         return film
+
+    def render_batched(self, n_passes: int):
+        """n_passes in one fused dispatch (see TracerBase.render_batched)."""
+        self.film, self._rays_dev = self._jitted_many(
+            self.scene, self.film, self._rays_dev,
+            jnp.int32(self.pass_idx), jnp.int32(n_passes))
+        self.film = self.film._replace(
+            n_passes=self.film.n_passes + float(n_passes))
+        self.pass_idx += n_passes

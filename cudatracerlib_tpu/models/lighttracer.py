@@ -133,8 +133,20 @@ class LightTracer(tracer.TracerBase):
         self._jitted = jax.jit(partial(lt_pass, n_paths=self.n_paths,
                                        max_depth=max_depth,
                                        active_types=self.active_types))
+        self._jitted_many = tracer.fuse_passes(
+            partial(lt_pass, n_paths=self.n_paths, max_depth=max_depth,
+                    active_types=self.active_types))
 
     def render_pass(self, scene, film, pass_idx):
         film = self._jitted(scene, film, jnp.int32(pass_idx))
         # weight=1 everywhere so develop() averages the (empty) rgb buffer
         return film._replace(weight=jnp.ones_like(film.weight))
+
+    def render_batched(self, n_passes: int):
+        film = self._jitted_many(self.scene, self.film,
+                                 jnp.int32(self.pass_idx),
+                                 jnp.int32(n_passes))
+        self.film = film._replace(
+            weight=jnp.ones_like(film.weight),
+            n_passes=film.n_passes + float(n_passes))
+        self.pass_idx += n_passes

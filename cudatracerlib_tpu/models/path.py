@@ -394,14 +394,17 @@ class PathTracer(tracer.TracerBase):
         self._rays_dev = jnp.float32(0.0)
         self._iters_dev = jnp.float32(0.0)   # traversal lockstep iterations
         self._rows_dev = jnp.float32(0.0)    # 512B fat rows gathered
-        self._jitted = jax.jit(partial(
-            _pt_chunk, w=width, h=height, chunk=self.chunk_size,
+        chunk_kw = dict(
+            w=width, h=height, chunk=self.chunk_size,
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
             spp=spp_per_pass, active_types=self.active_types,
             with_alpha=self.with_alpha, with_bump=self.with_bump,
             with_parallax=self.with_parallax, with_bssrdf=self.with_bssrdf,
             regularize=regularize, with_textures=self.with_textures,
-            sampler_type=sampler_type, spectral=spectral))
+            sampler_type=sampler_type, spectral=spectral)
+        self._jitted = jax.jit(partial(_pt_chunk, **chunk_kw))
+        self._jitted_many = jax.jit(partial(_pt_many, n_chunks=n_chunks,
+                                            **chunk_kw))
 
     def render_pass(self, scene, film, pass_idx):
         for c in range(self._n_chunks):
@@ -416,6 +419,28 @@ class PathTracer(tracer.TracerBase):
                     self._rows_dev,
                     jnp.int32(pass_idx + (self.seed << 16)), jnp.int32(c))
         return film
+
+    def render_batched(self, n_passes: int):
+        """All n_passes (x all chunks) in ONE jitted dispatch: a dynamic
+        `lax.fori_loop` over pass x chunk whose body is the same traced
+        chunk as render_pass, so per-dispatch transport overhead (~tens of
+        ms on the axon tunnel) is paid once per batch instead of once per
+        chunk. Counters/film/pass_idx advance exactly as n_passes do_pass
+        calls would."""
+        import time as _time
+        t0 = _time.perf_counter()
+        (self.film, self._rays_dev, self._iters_dev, self._rows_dev) = \
+            self._jitted_many(
+                self.scene, self.film, self._rays_dev, self._iters_dev,
+                self._rows_dev, jnp.int32(self.pass_idx + (self.seed << 16)),
+                jnp.int32(n_passes))
+        jax.block_until_ready(self.film.rgb)
+        self.film = self.film._replace(
+            n_passes=self.film.n_passes + float(n_passes))
+        self.pass_idx += n_passes
+        dt = _time.perf_counter() - t0
+        self.accum_seconds += dt
+        self.last_pass_seconds = dt / max(n_passes, 1)
 
     @property
     def rays_traced_live(self) -> float:
@@ -470,3 +495,16 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
         # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes)
         film = filmmod.add_samples(film, px, py, L * wt)
     return film, rays_ctr + nrays, iters_ctr + niters, rows_ctr + nrows
+
+
+def _pt_many(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
+             iters_ctr, rows_ctr, pass0, n_passes, n_chunks: int, **chunk_kw):
+    """n_passes full passes (all chunks each) as ONE dynamic fori_loop whose
+    body is a single traced _pt_chunk — compile cost stays that of one chunk
+    while a whole bench batch becomes one device dispatch."""
+    def body(k, carry):
+        f, rc, ic, wc = carry
+        return _pt_chunk(scene, f, rc, ic, wc, pass0 + k // n_chunks,
+                         k % n_chunks, **chunk_kw)
+    return jax.lax.fori_loop(0, n_passes * n_chunks, body,
+                             (film, rays_ctr, iters_ctr, rows_ctr))

@@ -48,9 +48,19 @@ class PrimTracer(tracer.TracerBase):
         self.draw_mode = draw_mode
         self._jitted = jax.jit(partial(_prim_pass, draw_mode=draw_mode,
                                        w=width, h=height))
+        self._jitted_many = tracer.fuse_passes(
+            partial(_prim_pass, draw_mode=draw_mode, w=width, h=height))
 
     def render_pass(self, scene, film, pass_idx):
         return self._jitted(scene, film, jnp.int32(pass_idx))
+
+    def render_batched(self, n_passes: int):
+        self.film = self._jitted_many(self.scene, self.film,
+                                      jnp.int32(self.pass_idx),
+                                      jnp.int32(n_passes))
+        self.film = self.film._replace(
+            n_passes=self.film.n_passes + float(n_passes))
+        self.pass_idx += n_passes
 
     def _debug_lane(self, pixel_idx):
         rays, px, py, state, wt = tracer.gen_camera_rays(

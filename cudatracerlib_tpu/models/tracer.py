@@ -65,6 +65,17 @@ def _filter_jitter(filter_type: int, u: Array) -> Array:
     return u - 0.5
 
 
+def fuse_passes(pass_fn):
+    """jit-wrap a functional (scene, film, pass_idx) -> film pass into a
+    (scene, film, pass0, n_passes) -> film call running n_passes inside ONE
+    dynamic `lax.fori_loop` dispatch (per-dispatch transport overhead on the
+    axon tunnel is ~tens of ms — fusing a batch amortizes it to one)."""
+    def many(scene, film, pass0, n_passes):
+        return jax.lax.fori_loop(
+            0, n_passes, lambda i, f: pass_fn(scene, f, pass0 + i), film)
+    return jax.jit(many)
+
+
 class TracerBase:
     """Host-side driver: owns pass counters and wall-clock stats
     (reference TracerBase pass/rays-per-second accounting)."""
@@ -101,6 +112,18 @@ class TracerBase:
         for _ in range(n_passes):
             self.do_pass()
         return filmmod.develop(self.film)
+
+    def render_batched(self, n_passes: int):
+        """Run n_passes with as few host->device dispatches as the tracer
+        supports. Subclasses with a purely functional pass fuse the whole
+        batch into ONE jitted `lax.fori_loop` dispatch (the per-dispatch
+        overhead of the device transport — ~tens of ms through the axon
+        tunnel — otherwise dominates sub-50ms passes). Base fallback: the
+        plain per-pass loop. Equivalent to `render(n)` minus per-pass
+        wall-clock stats; `pass_idx`, film and counters advance identically.
+        """
+        for _ in range(n_passes):
+            self.do_pass()
 
     def debug_pixel(self, x: int, y: int):
         """Re-run the integrator for one pixel (reference Tracer::Debug) —
