@@ -255,20 +255,33 @@ class DynamicScene:
         ng = ng / np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
         n0a, n1a, n2a = (np.concatenate(n0s), np.concatenate(n1s),
                          np.concatenate(n2s))
+        # static per-tri attributes come from the host refit mirrors (the
+        # device table carries only the packed shade rows; see build())
+        old_meta = schema.host_meta(scene_data)
+        rs = old_meta.get("refit_src")
+        if rs is None:  # hand-built table fallback: columns still on device
+            rs = dict(uv0=np.asarray(scene_data.geom.uv0),
+                      uv1=np.asarray(scene_data.geom.uv1),
+                      uv2=np.asarray(scene_data.geom.uv2),
+                      mat_id=np.asarray(scene_data.geom.mat_id),
+                      light_id=np.asarray(scene_data.geom.light_id),
+                      node_id=np.asarray(scene_data.geom.node_id))
         shade = schema.pack_shade_rows(
-            n0a, n1a, n2a,
-            np.asarray(scene_data.geom.uv0), np.asarray(scene_data.geom.uv1),
-            np.asarray(scene_data.geom.uv2), ng, v0, v1, v2,
-            np.asarray(scene_data.geom.mat_id),
-            np.asarray(scene_data.geom.light_id),
-            np.asarray(scene_data.geom.node_id))
+            n0a, n1a, n2a, rs["uv0"], rs["uv1"], rs["uv2"], ng, v0, v1, v2,
+            rs["mat_id"], rs["light_id"], rs["node_id"])
         geom = scene_data.geom._replace(
             wide=jnp.asarray(new_wide),
-            ng=jnp.asarray(ng.astype(np.float32)),
-            n0=jnp.asarray(n0a, jnp.float32),
-            n1=jnp.asarray(n1a, jnp.float32),
-            n2=jnp.asarray(n2a, jnp.float32),
             shade=jnp.asarray(shade))
+        # HBM-scale scenes: the treelet slabs are packed copies of the leaf
+        # rows — refit must refresh them or the two-phase traversal would
+        # intersect stale bounds (content-hashed cache keys off the new wide)
+        if scene_data.geom.tt_slabs is not None:
+            from . import treelet as treeletmod
+            part = treeletmod.partition_cached(new_wide)
+            top_np, slabs_np = treeletmod.prep_device(part)
+            geom = geom._replace(tt_top=jnp.asarray(top_np),
+                                 tt_slabs=jnp.asarray(slabs_np),
+                                 tt_vid=jnp.asarray(part.vid_map))
         # animated EMITTER triangles: refresh the precomputed light rows
         lights = scene_data.lights
         if lights.al_rows is not None:
@@ -448,21 +461,18 @@ class DynamicScene:
             tt_slabs = jnp.asarray(slabs_np)
             tt_vid = jnp.asarray(part.vid_map)
         # tris=None: the (T, 12) intersection layout would duplicate the
-        # BVH leaf rows; area-light sampling reads LightTable.al_rows instead
+        # BVH leaf rows; area-light sampling reads LightTable.al_rows instead.
+        # The raw per-tri columns (normals/uv/ids) are None on device too:
+        # every kernel reads the packed `shade` fat rows, so the columns
+        # would be dead HBM (~84 B/tri). The ones refit needs (uv + ids; the
+        # normals are recomputed from the meshes) live on as numpy mirrors
+        # in host_meta["refit_src"].
         geom = schema.GeometryTable(
             tris=None, nodes=jnp.asarray(b.nodes),
             tri_order=jnp.asarray(b.tri_order), wide=jnp.asarray(wide),
             tt_top=tt_top, tt_slabs=tt_slabs, tt_vid=tt_vid,
-            n0=jnp.asarray(n0a, jnp.float32),
-            n1=jnp.asarray(n1a, jnp.float32),
-            n2=jnp.asarray(n2a, jnp.float32),
-            uv0=jnp.asarray(uv0a, jnp.float32),
-            uv1=jnp.asarray(uv1a, jnp.float32),
-            uv2=jnp.asarray(uv2a, jnp.float32),
-            ng=jnp.asarray(ng, jnp.float32),
-            mat_id=jnp.asarray(mat_a),
-            light_id=jnp.asarray(light_a),
-            node_id=jnp.asarray(node_a),
+            n0=None, n1=None, n2=None, uv0=None, uv1=None, uv2=None,
+            ng=None, mat_id=None, light_id=None, node_id=None,
             shade=jnp.asarray(shade))
 
         # scene bounds include media volumes (a medium may extend past all
@@ -504,6 +514,8 @@ class DynamicScene:
                                   + ([schema.LIGHT_INFINITE] if self._env is not None else []),
                                   np.int32),
             n_media=len(self._media),
+            refit_src=dict(uv0=uv0a, uv1=uv1a, uv2=uv2a, mat_id=mat_a,
+                           light_id=light_a, node_id=node_a),
         ))
         return sd
 
@@ -617,12 +629,11 @@ class DynamicScene:
             nodes=jnp.zeros((1, 16), jnp.float32),
             tri_order=jnp.arange(v0a.shape[0], dtype=jnp.int32),
             wide=jnp.asarray(np.concatenate(wides)),
-            n0=jnp.asarray(catp(3), jnp.float32), n1=jnp.asarray(catp(4), jnp.float32),
-            n2=jnp.asarray(catp(5), jnp.float32), uv0=jnp.asarray(catp(6), jnp.float32),
-            uv1=jnp.asarray(catp(7), jnp.float32), uv2=jnp.asarray(catp(8), jnp.float32),
-            ng=jnp.asarray(catp(12), jnp.float32),
-            mat_id=jnp.asarray(catp(9)), light_id=jnp.asarray(catp(10)),
-            node_id=jnp.asarray(catp(11)),
+            # raw per-tri columns stay off-device (see build()); instanced
+            # scenes never take the column-based refit path (transform
+            # updates rewrite InstanceTable rows, topology changes rebuild)
+            n0=None, n1=None, n2=None, uv0=None, uv1=None, uv2=None,
+            ng=None, mat_id=None, light_id=None, node_id=None,
             shade=jnp.asarray(np.concatenate(shades)))
 
         # instance table: identity row for the flat part, then each node of
