@@ -33,7 +33,8 @@ def _transform_dir(m34: Array, d: Array) -> Array:
     return jnp.einsum("bij,bj->bi", m34[:, :, :3], d)
 
 
-def tlas_visits(table: Array, order: Array, rays: Rays, max_visits: int = 12):
+def tlas_visits(table: Array, order: Array, rays: Rays, max_visits: int = 12,
+                with_iters: bool = False):
     """Traverse the 8-wide TLAS over instance AABBs (scene/bvh8.build_tlas8)
     and emit each lane's instance visit list in approximate near-to-far
     order. Leaf links carry the binary builder's -2-(first*16+count) codes
@@ -129,6 +130,9 @@ def tlas_visits(table: Array, order: Array, rays: Rays, max_visits: int = 12):
     visits = jnp.stack(out[4])                      # (V, B)
     counts = out[5]
     dropped = jnp.sum(jnp.maximum(counts - V, 0))
+    if with_iters:
+        return (visits, jnp.minimum(counts, V), dropped,
+                out[0].astype(jnp.float32))
     return visits, jnp.minimum(counts, V), dropped
 
 
@@ -140,11 +144,15 @@ def _safe_inv_dir(d: Array) -> Array:
 
 def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                         any_hit: bool = False,
-                        max_visits: int = MAX_VISITS) -> Hit:
+                        max_visits: int = MAX_VISITS,
+                        with_iters: bool = False):
     """Closest-hit (or any-hit) over an instanced scene.
 
     Returns Hit with LOCAL triangle ids and the instance id in ``hit.inst``
-    (shading resolves both via fill_dg's instanced branch).
+    (shading resolves both via fill_dg's instanced branch). With
+    ``with_iters`` also returns (lockstep iterations, 512B rows gathered)
+    accumulated across the TLAS walk and every BLAS visit, so the bench's
+    bandwidth accounting covers instanced scenes too.
 
     Instance selection: for small instance counts a dense (B, I) slab scan
     picks the next-nearest unvisited instance; when the scene carries a TLAS
@@ -156,11 +164,16 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
     inst = geom.inst
     B = rays.o.shape[0]
     I = inst.root.shape[0]
+    niters = jnp.float32(0.0)
+    nrows = jnp.float32(0.0)
 
     if inst.tlas is not None:
         V = max(max_visits, 12)
-        visits, counts, dropped = tlas_visits(inst.tlas, inst.tlas_order,
-                                              rays, max_visits=V)
+        visits, counts, dropped, tlas_it = tlas_visits(
+            inst.tlas, inst.tlas_order, rays, max_visits=V, with_iters=True)
+        # each TLAS lockstep iteration gathers one 128-float row per lane
+        niters = niters + tlas_it
+        nrows = nrows + tlas_it * B
         best = Hit(t=rays.tmax, tri=jnp.full(B, -1, jnp.int32),
                    u=jnp.zeros(B), v=jnp.zeros(B),
                    inst=jnp.full(B, -1, jnp.int32))
@@ -183,8 +196,11 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
             roots = jnp.take(inst.root, k)
             local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
                          tmax=jnp.where(active, best.t, 0.0))
-            h = traversal8.intersect_scene(
-                geom._replace(inst=None), local, any_hit=any_hit, roots=roots)
+            h, it1, rw1 = traversal8.intersect_scene(
+                geom._replace(inst=None), local, any_hit=any_hit, roots=roots,
+                with_iters=True)
+            niters = niters + it1
+            nrows = nrows + rw1
             better = active & h.valid & (h.t < best.t)
             best = Hit(t=jnp.where(better, h.t, best.t),
                        tri=jnp.where(better, h.tri, best.tri),
@@ -193,6 +209,8 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                        inst=jnp.where(better, k, best.inst))
             if any_hit:
                 done = done | (active & h.valid)
+        if with_iters:
+            return best, niters, nrows
         return best
 
     # ---- TLAS: slab-test every instance AABB (vectorized (B, I)) ----
@@ -230,8 +248,11 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
         roots = jnp.take(inst.root, k)
         local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
                      tmax=jnp.where(active, best.t, 0.0))
-        h = traversal8.intersect_scene(
-            geom._replace(inst=None), local, any_hit=any_hit, roots=roots)
+        h, it1, rw1 = traversal8.intersect_scene(
+            geom._replace(inst=None), local, any_hit=any_hit, roots=roots,
+            with_iters=True)
+        niters = niters + it1
+        nrows = nrows + rw1
         better = active & h.valid & (h.t < best.t)
         best = Hit(t=jnp.where(better, h.t, best.t),
                    tri=jnp.where(better, h.tri, best.tri),
@@ -240,4 +261,6 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                    inst=jnp.where(better, k, best.inst))
         if any_hit:
             done = done | (active & h.valid)
+    if with_iters:
+        return best, niters, nrows
     return best

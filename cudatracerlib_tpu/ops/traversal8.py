@@ -407,10 +407,8 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
     from . import traversal_pl
     if geom.inst is not None:
         from . import instanced
-        hit = instanced.intersect_instanced(geom, rays, any_hit=any_hit)
-        if with_iters:  # instanced path not yet instrumented: report zeros
-            return hit, jnp.float32(0.0), jnp.float32(0.0)
-        return hit
+        return instanced.intersect_instanced(geom, rays, any_hit=any_hit,
+                                             with_iters=with_iters)
     n_rows = geom.wide.shape[0]
     on_tpu = _jax.default_backend() not in ("cpu",)
     if on_tpu and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES:
