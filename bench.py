@@ -230,6 +230,54 @@ def bench_ppm():
     }
 
 
+def bench_traversal_kernels():
+    """Traversal-kernel A/B on the 1.2M-tri stand-in: two-phase treelet
+    (HBM slab DMA) vs the XLA gather loop, same 131k coherent camera rays,
+    both with iteration/row counters (VERDICT r2 #2 audit trail)."""
+    import jax.numpy as jnp
+    from cudatracerlib_tpu.models import tracer as tracermod
+    from cudatracerlib_tpu.ops import traversal8
+    from cudatracerlib_tpu.utils import example_scenes
+    import jax
+
+    w = h = 1024
+    B = 1 << 17
+    scene = example_scenes.san_miguel_stand_in(w, h).build()
+    pix = jnp.arange(B, dtype=jnp.int32)
+    rays, _, _, _, _ = tracermod.gen_camera_rays(scene, pix, 0, 0, w, h)
+
+    def run(coherent):
+        fn = jax.jit(lambda r: traversal8.intersect_scene(
+            scene.geom, r, with_iters=True, coherent=coherent))
+        hit, it, rw = fn(rays)          # compile + warm
+        _drain(hit.t)
+        t0 = time.perf_counter()
+        hit, it, rw = fn(rays)
+        _drain(hit.t)
+        dt = time.perf_counter() - t0
+        return dt, float(it), float(rw), float(jnp.sum(hit.valid))
+
+    dt_x, it_x, rw_x, hits_x = run(coherent=False)   # XLA gather loop
+    dt_t, it_t, rw_t, hits_t = run(coherent=True)    # treelet two-phase
+    mr_t, mr_x = B / dt_t / 1e6, B / dt_x / 1e6
+    return {
+        "metric": "traversal kernel A/B (1.2M tris, 131k coherent camera rays)",
+        "value": round(mr_t, 3),
+        "unit": "Mrays/s (treelet two-phase)",
+        "vs_baseline": round(mr_t / BASELINE_MRAYS, 4),
+        "timing": "time-to-readback",
+        "treelet": {"Mrays_s": round(mr_t, 3), "seconds": round(dt_t, 4),
+                    "loop_iters": int(it_t), "rows_gathered": int(rw_t),
+                    "gather_GBps": round(rw_t * ROW_BYTES / dt_t / 1e9, 2),
+                    "hits": int(hits_t)},
+        "xla_loop": {"Mrays_s": round(mr_x, 3), "seconds": round(dt_x, 4),
+                     "loop_iters": int(it_x), "rows_gathered": int(rw_x),
+                     "gather_GBps": round(rw_x * ROW_BYTES / dt_x / 1e9, 2),
+                     "hits": int(hits_x)},
+        "treelet_speedup_x": round(dt_x / dt_t, 3),
+    }
+
+
 def bench_cornell_headline():
     """Headline: PT Cornell 512x512 depth 6 — round-over-round comparable."""
     from cudatracerlib_tpu.utils import example_scenes
@@ -245,6 +293,7 @@ CONFIGS = {
     "san_miguel": bench_san_miguel,
     "bdpt": bench_bdpt,
     "ppm": bench_ppm,
+    "traversal": bench_traversal_kernels,
     "headline": bench_cornell_headline,
 }
 
@@ -286,7 +335,8 @@ def main():
     # each config runs in its own process: one config's readbacks/state must
     # not affect the next (axon tunnel dispatch-mode quirks)
     results = []
-    for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm"):
+    for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm",
+                 "traversal"):
         try:
             p = subprocess.run([sys.executable, __file__, name],
                                capture_output=True, text=True, timeout=1800)
