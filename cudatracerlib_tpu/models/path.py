@@ -92,7 +92,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     # samplers.sample_1d_dyn supports.
     use_seq = sampler_type != 0 and pixel_idx is not None
 
-    def bounce(depth, carry):
+    def bounce(depth, carry, coherent=False):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
          nrays, niters, nrows, ins_med, ins_mat, mono_done) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
@@ -101,7 +101,8 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         # rays actually traced, not launched lanes)
         nrays = nrays + jnp.sum(active.astype(jnp.float32))
         hit, it1, rw1 = traversal8.intersect_scene(geom, trace_rays,
-                                                   with_iters=True)
+                                                   with_iters=True,
+                                                   coherent=coherent)
         niters = niters + it1
         nrows = nrows + rw1
 
@@ -356,7 +357,22 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
              jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
-    carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    # depth-0 peel: camera rays are the one COHERENT wavefront of the path —
+    # on HBM-scale scenes (treelet table present) they take the two-phase
+    # treelet kernel (slab-coherent DMA; measured ~15% faster than the XLA
+    # gather loop on 131k primaries over the 1.2M-tri stand-in). Bounce rays
+    # stay on the incoherent path where the treelet visit lists overflow.
+    # Mirrors the dispatch gate in traversal8.intersect_scene so the peel
+    # never doubles trace/compile cost when it couldn't change the kernel.
+    peel_coherent = (geom.inst is None and geom.tt_top is not None
+                     and max_depth > 0
+                     and (jax.default_backend() not in ("cpu",)
+                          or traversal8.FORCE_TREELET))
+    if peel_coherent:
+        carry = bounce(0, carry, coherent=True)
+        carry = jax.lax.fori_loop(1, max_depth, bounce, carry)
+    else:
+        carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
     L_out = carry[0]
     if C:
         span = (specmod.SPECTRUM_MAX_WAVELENGTH

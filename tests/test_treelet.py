@@ -117,3 +117,32 @@ def test_overflow_fallback_is_exact(scene, part, rays):
     assert np.array_equal(np.asarray(hit.tri), np.asarray(h_ref.tri))
     np.testing.assert_allclose(np.asarray(hit.t), np.asarray(h_ref.t),
                                rtol=1e-5)
+
+
+def test_pt_depth0_coherent_peel_matches_plain_loop(scene, part):
+    """The PT peels depth 0 out of its bounce loop so primary rays take the
+    coherent treelet kernel (models/path.py). The peel must not change the
+    image: same seed, same scene, peel on (treelet tables + FORCE_TREELET)
+    vs off (plain fori_loop over the single table)."""
+    from unittest import mock
+
+    from cudatracerlib_tpu.models import path as pathmod
+
+    top_t, slabs_t = treelet.prep_device(part)
+    geom_tt = scene.geom._replace(tt_top=jnp.asarray(top_t),
+                                  tt_slabs=jnp.asarray(slabs_t),
+                                  tt_vid=jnp.asarray(part.vid_map))
+    scene_tt = scene._replace(geom=geom_tt)
+
+    w = h = 32
+    ref = np.asarray(pathmod.PathTracer(scene, w, h, max_depth=3,
+                                        seed=7).render(1))
+    with mock.patch.object(traversal8, "FORCE_TREELET", True):
+        got = np.asarray(pathmod.PathTracer(scene_tt, w, h, max_depth=3,
+                                            seed=7).render(1))
+    # traversal is exact through the overflow fallback; residual diffs are
+    # t-ULP tie-breaks flipping the odd occlusion ray
+    assert np.isfinite(got).all()
+    assert abs(got.mean() / ref.mean() - 1.0) < 1e-3
+    close = np.isclose(got, ref, rtol=1e-3, atol=1e-4).mean()
+    assert close > 0.995, float(close)
