@@ -179,12 +179,16 @@ def bench_bdpt():
     tr.render_batched(1)
     _drain(tr.film.rgb)
     floor = _readback_floor(tr.film.rgb)
+    r0 = float(tr._rays_dev)
     n_passes = 4
     t0 = time.perf_counter()
     tr.render_batched(n_passes)   # one fused dispatch for the whole batch
     _drain(tr.film.rgb)
     dt = time.perf_counter() - t0
     paths = w * h * n_passes
+    # device-resident live-ray counter (closest + shadow + connection rays
+    # actually traced, not launched lanes) — the auditable companion number
+    rays = float(tr._rays_dev) - r0
     return {
         "metric": "bidirectional PT (cornell-glass 256x256, depth 6)",
         "value": round(paths / dt / 1e6, 3),
@@ -194,6 +198,8 @@ def bench_bdpt():
         "timing": "time-to-readback",
         "seconds": round(dt, 3),
         "readback_floor_s": round(floor, 4),
+        "live_rays": int(rays),
+        "live_Mrays_s": round(rays / dt / 1e6, 3),
         "image": _save_image(tr.film, "bdpt"),
     }
 
