@@ -94,17 +94,18 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
     def bounce(depth, carry, coherent=False):
         (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-         nrays, niters, nrows, ins_med, ins_mat, mono_done) = carry
+         nrays, niters, nrows, novf, ins_med, ins_mat, mono_done) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         # live-ray counter (reference g_RayTracedCounter semantics: count only
         # rays actually traced, not launched lanes)
         nrays = nrays + jnp.sum(active.astype(jnp.float32))
-        hit, it1, rw1 = traversal8.intersect_scene(geom, trace_rays,
-                                                   with_iters=True,
-                                                   coherent=coherent)
+        hit, it1, rw1, ov1 = traversal8.intersect_scene(geom, trace_rays,
+                                                        with_iters=True,
+                                                        coherent=coherent)
         niters = niters + it1
         nrows = nrows + rw1
+        novf = novf + ov1
 
         # --- BSSRDF internal random walk (reference Material.h:38-60): lanes
         # inside a subsurface material sample a homogeneous scattering
@@ -246,11 +247,12 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 o=shadow_o, d=ed.d, tmin=jnp.zeros(B),
                 tmax=jnp.where(do_shadow, ed.dist * 0.999, 0.0))
             nrays = nrays + jnp.sum(do_shadow.astype(jnp.float32))
-            occ_hit, it2, rw2 = traversal8.intersect_scene(
+            occ_hit, it2, rw2, ov2 = traversal8.intersect_scene(
                 geom, shadow, any_hit=True, with_iters=True)
             occluded = occ_hit.valid
             niters = niters + it2
             nrows = nrows + rw2
+            novf = novf + ov2
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
             contrib = (beta * up(f_nee * ed.radiance_over_pdf)
                        * w_nee[:, None])
@@ -352,22 +354,24 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
         return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
                 next_pdf, is_delta, nxt, state, had_smooth2, nrays,
-                niters, nrows, ins_med, ins_mat, mono_done)
+                niters, nrows, novf, ins_med, ins_mat, mono_done)
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             jnp.float32(0.0),
              jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
     # depth-0 peel: camera rays are the one COHERENT wavefront of the path —
-    # on HBM-scale scenes (treelet table present) they take the two-phase
-    # treelet kernel (slab-coherent DMA; measured ~15% faster than the XLA
-    # gather loop on 131k primaries over the 1.2M-tri stand-in). Bounce rays
-    # stay on the incoherent path where the treelet visit lists overflow.
-    # Mirrors the dispatch gate in traversal8.intersect_scene so the peel
-    # never doubles trace/compile cost when it couldn't change the kernel.
-    peel_coherent = (geom.inst is None and geom.tt_top is not None
-                     and max_depth > 0
-                     and (jax.default_backend() not in ("cpu",)
-                          or traversal8.FORCE_TREELET))
+    # on HBM-scale scenes they take the treelet kernel with the smaller
+    # coherent visit budget (V_COHERENT); bounces use V_INCOHERENT (or the
+    # XLA loop when TREELET_INCOHERENT is off). The gate SHARES the dispatch
+    # predicate with traversal8.intersect_scene (advisor finding, round 3)
+    # and only peels when the coherent dispatch actually differs from the
+    # bounce dispatch, so the peel never doubles trace/compile cost for an
+    # identical kernel.
+    peel_coherent = (max_depth > 0
+                     and traversal8.treelet_would_dispatch(geom, coherent=True)
+                     and (not traversal8.TREELET_INCOHERENT
+                          or traversal8.V_COHERENT != traversal8.V_INCOHERENT))
     if peel_coherent:
         carry = bounce(0, carry, coherent=True)
         carry = jax.lax.fori_loop(1, max_depth, bounce, carry)
@@ -379,7 +383,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 - specmod.SPECTRUM_MIN_WAVELENGTH)
         L_out = specmod.spectral_to_rgb(L_out, lam, span)
     if return_rays:
-        return L_out, carry[6], carry[8], carry[9], carry[10]
+        return L_out, carry[6], carry[8], carry[9], carry[10], carry[11]
     return L_out, carry[6]
 
 
@@ -410,6 +414,9 @@ class PathTracer(tracer.TracerBase):
         self._rays_dev = jnp.float32(0.0)
         self._iters_dev = jnp.float32(0.0)   # traversal lockstep iterations
         self._rows_dev = jnp.float32(0.0)    # 512B fat rows gathered
+        self._ovf_dev = jnp.float32(0.0)     # treelet overflow rays whose
+        #                                      fallback re-traversal was
+        #                                      clipped (must stay 0)
         chunk_kw = dict(
             w=width, h=height, chunk=self.chunk_size,
             max_depth=max_depth, rr_depth=rr_depth, use_nee=use_nee,
@@ -429,10 +436,10 @@ class PathTracer(tracer.TracerBase):
             # client permanently slows dispatch after the first D2H transfer).
             # The tracer seed offsets the pass index so differently-seeded
             # tracers draw decorrelated streams.
-            film, self._rays_dev, self._iters_dev, self._rows_dev = \
-                self._jitted(
+            (film, self._rays_dev, self._iters_dev, self._rows_dev,
+             self._ovf_dev) = self._jitted(
                     scene, film, self._rays_dev, self._iters_dev,
-                    self._rows_dev,
+                    self._rows_dev, self._ovf_dev,
                     jnp.int32(pass_idx + (self.seed << 16)), jnp.int32(c))
         return film
 
@@ -445,10 +452,11 @@ class PathTracer(tracer.TracerBase):
         calls would."""
         import time as _time
         t0 = _time.perf_counter()
-        (self.film, self._rays_dev, self._iters_dev, self._rows_dev) = \
-            self._jitted_many(
+        (self.film, self._rays_dev, self._iters_dev, self._rows_dev,
+         self._ovf_dev) = self._jitted_many(
                 self.scene, self.film, self._rays_dev, self._iters_dev,
-                self._rows_dev, jnp.int32(self.pass_idx + (self.seed << 16)),
+                self._rows_dev, self._ovf_dev,
+                jnp.int32(self.pass_idx + (self.seed << 16)),
                 jnp.int32(n_passes))
         jax.block_until_ready(self.film.rgb)
         self.film = self.film._replace(
@@ -477,7 +485,7 @@ def scene_active_types(scene: schema.SceneData):
 
 
 def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
-              iters_ctr, rows_ctr, pass_idx, chunk_idx,
+              iters_ctr, rows_ctr, ovf_ctr, pass_idx, chunk_idx,
               w: int, h: int, chunk: int, max_depth: int, rr_depth: int,
               use_nee: bool, spp: int, active_types, with_alpha: bool = False,
               with_bump: bool = False, with_parallax: bool = False,
@@ -489,12 +497,13 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
     nrays = jnp.float32(0.0)
     niters = jnp.float32(0.0)
     nrows = jnp.float32(0.0)
+    novf = jnp.float32(0.0)
     for s_i in range(spp):
         sample_idx = pass_idx * spp + s_i
         rays, px, py, state, wt = tracer.gen_camera_rays(
             scene, pixel_idx, sample_idx, pass_idx, w, h,
             sampler_type=sampler_type)
-        L, state, nr, ni, nw = pt_radiance(
+        L, state, nr, ni, nw, nv = pt_radiance(
             scene, rays, state, max_depth, rr_depth,
             use_nee, active_types, with_alpha=with_alpha,
             with_bump=with_bump,
@@ -507,20 +516,23 @@ def _pt_chunk(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
         nrays = nrays + nr
         niters = niters + ni
         nrows = nrows + nw
+        novf = novf + nv
         # measured on v5e: XLA's scatter-add here is FASTER than a
         # dynamic-slice read-modify-write (0.06ms vs 0.36ms at 64K lanes)
         film = filmmod.add_samples(film, px, py, L * wt)
-    return film, rays_ctr + nrays, iters_ctr + niters, rows_ctr + nrows
+    return (film, rays_ctr + nrays, iters_ctr + niters, rows_ctr + nrows,
+            ovf_ctr + novf)
 
 
 def _pt_many(scene: schema.SceneData, film: filmmod.Film, rays_ctr,
-             iters_ctr, rows_ctr, pass0, n_passes, n_chunks: int, **chunk_kw):
+             iters_ctr, rows_ctr, ovf_ctr, pass0, n_passes, n_chunks: int,
+             **chunk_kw):
     """n_passes full passes (all chunks each) as ONE dynamic fori_loop whose
     body is a single traced _pt_chunk — compile cost stays that of one chunk
     while a whole bench batch becomes one device dispatch."""
     def body(k, carry):
-        f, rc, ic, wc = carry
-        return _pt_chunk(scene, f, rc, ic, wc, pass0 + k // n_chunks,
+        f, rc, ic, wc, oc = carry
+        return _pt_chunk(scene, f, rc, ic, wc, oc, pass0 + k // n_chunks,
                          k % n_chunks, **chunk_kw)
     return jax.lax.fori_loop(0, n_passes * n_chunks, body,
-                             (film, rays_ctr, iters_ctr, rows_ctr))
+                             (film, rays_ctr, iters_ctr, rows_ctr, ovf_ctr))

@@ -150,9 +150,10 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
 
     Returns Hit with LOCAL triangle ids and the instance id in ``hit.inst``
     (shading resolves both via fill_dg's instanced branch). With
-    ``with_iters`` also returns (lockstep iterations, 512B rows gathered)
-    accumulated across the TLAS walk and every BLAS visit, so the bench's
-    bandwidth accounting covers instanced scenes too.
+    ``with_iters`` also returns (lockstep iterations, 512B rows gathered,
+    clipped treelet-overflow rays) accumulated across the TLAS walk and
+    every BLAS visit, so the bench's bandwidth accounting covers instanced
+    scenes too.
 
     Instance selection: for small instance counts a dense (B, I) slab scan
     picks the next-nearest unvisited instance; when the scene carries a TLAS
@@ -166,6 +167,7 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
     I = inst.root.shape[0]
     niters = jnp.float32(0.0)
     nrows = jnp.float32(0.0)
+    novf = jnp.float32(0.0)
 
     if inst.tlas is not None:
         V = max(max_visits, 12)
@@ -196,11 +198,12 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
             roots = jnp.take(inst.root, k)
             local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
                          tmax=jnp.where(active, best.t, 0.0))
-            h, it1, rw1 = traversal8.intersect_scene(
+            h, it1, rw1, ov1 = traversal8.intersect_scene(
                 geom._replace(inst=None), local, any_hit=any_hit, roots=roots,
                 with_iters=True)
             niters = niters + it1
             nrows = nrows + rw1
+            novf = novf + ov1
             better = active & h.valid & (h.t < best.t)
             best = Hit(t=jnp.where(better, h.t, best.t),
                        tri=jnp.where(better, h.tri, best.tri),
@@ -210,7 +213,7 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
             if any_hit:
                 done = done | (active & h.valid)
         if with_iters:
-            return best, niters, nrows
+            return best, niters, nrows, novf
         return best
 
     # ---- TLAS: slab-test every instance AABB (vectorized (B, I)) ----
@@ -248,11 +251,12 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
         roots = jnp.take(inst.root, k)
         local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
                      tmax=jnp.where(active, best.t, 0.0))
-        h, it1, rw1 = traversal8.intersect_scene(
+        h, it1, rw1, ov1 = traversal8.intersect_scene(
             geom._replace(inst=None), local, any_hit=any_hit, roots=roots,
             with_iters=True)
         niters = niters + it1
         nrows = nrows + rw1
+        novf = novf + ov1
         better = active & h.valid & (h.t < best.t)
         best = Hit(t=jnp.where(better, h.t, best.t),
                    tri=jnp.where(better, h.tri, best.tri),
@@ -262,5 +266,5 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
         if any_hit:
             done = done | (active & h.valid)
     if with_iters:
-        return best, niters, nrows
+        return best, niters, nrows, novf
     return best

@@ -381,6 +381,29 @@ DEFAULT_RAYS_PER_LANE = 16
 # test hook: exercise the treelet dispatch branch on the CPU backend
 # (kernels fall back to interpret mode there)
 FORCE_TREELET = False
+# dispatch INCOHERENT wavefronts (bounce/shadow rays) onto the treelet
+# kernel too; the reference's one intersector serves ALL rays
+# (`Kernel/TraceHelper.cu:379-427`) and the phase-2 visit sort restores
+# slab-DMA coherence regardless of ray order. Flag kept for A/B benching.
+TREELET_INCOHERENT = True
+V_COHERENT = 6          # camera wavefronts: few treelets per ray
+V_INCOHERENT = 10       # bounce/shadow rays touch more treelets before
+#                         the overflow fallback has to pick them up
+FB_MIN = 1024           # overflow-fallback batch: max(min(B, FB_MIN), B//FB_DIV)
+FB_DIV = 8
+
+
+def treelet_would_dispatch(geom, coherent: bool = True,
+                           roots: Array = None) -> bool:
+    """True iff intersect_scene would route this geometry+wavefront onto the
+    two-phase treelet kernel. Shared by the dispatch below and any caller
+    that must mirror it (e.g. models/path.py's depth-0 peel) so the two can
+    never silently desync (advisor finding, round 3)."""
+    import jax as _jax
+    on_tpu = _jax.default_backend() not in ("cpu",)
+    return ((on_tpu or FORCE_TREELET) and geom.inst is None
+            and geom.tt_top is not None and roots is None
+            and (coherent or TREELET_INCOHERENT))
 
 
 def intersect_scene(geom, rays: Rays, any_hit: bool = False,
@@ -395,14 +418,19 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
       (ops/traversal_pl.py): ~5x the XLA path on Cornell-class scenes by
       keeping the whole state machine in vregs (no per-iteration dispatch
       or loop-state round trips).
-    - TPU + HBM-scale table + coherent=True -> two-phase treelet kernel
-      (ops/traversal_tt.py): beats the XLA loop on COHERENT wavefronts
-      (camera/primary rays: 27ms vs 31ms per 131k rays on the 1.2M-tri
-      stand-in), but loses on incoherent bounce rays whose treelet-visit
-      lists overflow the V budget (~5-10k/131k at V=6) and re-traverse on
-      the exact fallback. Callers mark primary-hit workloads coherent.
+    - TPU + HBM-scale table -> two-phase treelet kernel (ops/traversal_tt.py)
+      for EVERY wavefront (round 4; round 3 gated it to coherent=True). The
+      visit sort restores slab-DMA coherence even for incoherent bounce and
+      shadow rays; the `coherent` hint only selects the visit budget V
+      (incoherent rays touch more treelets). Exactness is kept by the
+      counted overflow fallback below.
     - otherwise -> XLA gather loop with persistent lanes (K rays per lane,
-      amortizing the lockstep worst-lane tail)."""
+      amortizing the lockstep worst-lane tail).
+
+    with_iters=True returns (hit, lockstep iterations, 512B fat rows
+    gathered, overflow rays whose re-traversal was CLIPPED by the fallback
+    batch budget — nonzero means some hits may be treelet-pruned and the
+    budget needs raising; counted, never silent)."""
     import jax as _jax
     from . import traversal_pl
     if geom.inst is not None:
@@ -413,18 +441,18 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
     on_tpu = _jax.default_backend() not in ("cpu",)
     if on_tpu and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES:
         table_t = traversal_pl.prep_table_jnp(geom.wide)
-        return traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
-                                             roots=roots,
-                                             with_iters=with_iters)
-    if ((on_tpu or FORCE_TREELET) and geom.tt_top is not None
-            and roots is None and coherent):
+        res = traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
+                                            roots=roots,
+                                            with_iters=with_iters)
+        if with_iters:
+            return res[0], res[1], res[2], jnp.float32(0.0)
+        return res
+    if treelet_would_dispatch(geom, coherent=coherent, roots=roots):
         from . import traversal_tt
-        res = traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
-                                             geom.tt_vid, rays,
-                                             any_hit=any_hit,
-                                             V=traversal_tt.DEFAULT_V,
-                                             with_overflow=True,
-                                             with_iters=with_iters)
+        res = traversal_tt.intersect_treelet(
+            geom.tt_top, geom.tt_slabs, geom.tt_vid, rays, any_hit=any_hit,
+            V=V_COHERENT if coherent else V_INCOHERENT,
+            with_overflow=True, with_iters=with_iters)
         hit, ovf = res[0], res[1]
         # EXACTNESS: rays whose treelet-visit list overflowed the V budget
         # may have missed their closest hit. COMPACT them (variadic sort
@@ -433,13 +461,14 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
         # wins back. With zero overflow every batch lane is dead (tmax=0)
         # and the lockstep loop exits after one iteration — the fallback
         # then costs only its (small) gather glue. Rays past the M budget
-        # keep the treelet hit; batch overflow would need >M/B of rays to
-        # overflow V=6 visits, which the visit stats make ~impossible.
+        # keep the treelet hit; that clipping is COUNTED (4th stats output)
+        # so callers/benches detect budget exhaustion instead of silently
+        # rendering with pruned hits.
         B = rays.o.shape[0]
-        # bounce/shadow rays overflow far more than primaries (measured:
-        # ~5-10k of 131k random-bounce rays at V=6 on the 1.2M-tri scene),
-        # so the batch must hold ~an eighth of the wavefront
-        M = max(min(B, 1024), B // 8)
+        # bounce/shadow rays overflow far more than primaries, so the batch
+        # holds ~an eighth of the wavefront (constants are module-level so
+        # tests can construct adversarial clipping)
+        M = max(min(B, FB_MIN), B // FB_DIV)
         iota = jnp.arange(B, dtype=jnp.int32)
         _, rid = jax.lax.sort((1 - ovf.astype(jnp.int32), iota), num_keys=1)
         # re-sorting the selected ids makes the write-back scatters eligible
@@ -451,7 +480,14 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
                        d=jnp.take(rays.d, rid_m, axis=0),
                        tmin=jnp.take(rays.tmin, rid_m),
                        tmax=jnp.where(is_ovf_m, jnp.take(hit.t, rid_m), 0.0))
-        fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit)
+        K = DEFAULT_RAYS_PER_LANE
+        if M % K == 0 and M >= 4 * K:
+            # persistent lanes amortize the lockstep worst-lane tail over
+            # the (mostly dead) fallback batch
+            fb = intersect_wide_persistent(geom.wide, fb_rays,
+                                           rays_per_lane=K, any_hit=any_hit)
+        else:
+            fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit)
         # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
         win = fb.valid & is_ovf_m
         upd = lambda dst, src: dst.at[rid_m].set(
@@ -460,12 +496,18 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
         hit = Hit(t=upd(hit.t, fb.t), tri=upd(hit.tri, fb.tri),
                   u=upd(hit.u, fb.u), v=upd(hit.v, fb.v))
         if with_iters:
-            return hit, res[2], res[3]
+            clipped = jnp.maximum(
+                jnp.sum(ovf.astype(jnp.float32)) - jnp.float32(M), 0.0)
+            return hit, res[2], res[3], clipped
         return hit
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
-        return intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
-                                         any_hit=any_hit, roots=roots,
-                                         with_iters=with_iters)
-    return intersect_wide(geom.wide, rays, any_hit=any_hit, roots=roots,
-                          with_iters=with_iters)
+        res = intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
+                                        any_hit=any_hit, roots=roots,
+                                        with_iters=with_iters)
+    else:
+        res = intersect_wide(geom.wide, rays, any_hit=any_hit, roots=roots,
+                             with_iters=with_iters)
+    if with_iters:
+        return res[0], res[1], res[2], jnp.float32(0.0)
+    return res

@@ -542,10 +542,17 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     inv = lambda dd: 1.0 / jnp.where(jnp.abs(dd) < eps,
                                      jnp.where(dd >= 0, eps, -eps), dd)
     dpad = rays.d
+    # phase-2 prune: each visit starts from the phase-1 best t. For ANY-HIT
+    # batches (shadow rays) a phase-1 hit fully satisfies the query — kill
+    # every visit of already-hit rays (tmax=-1 dies in one step) instead of
+    # re-confirming the hit against treelet leaves.
+    t_prune = t0_[:N]
+    if any_hit:
+        t_prune = jnp.where(tri0[:N] >= 0, jnp.float32(-1.0), t_prune)
     src = jnp.concatenate([rays.o.T, rays.d.T,
                            inv(dpad[:, 0])[None], inv(dpad[:, 1])[None],
                            inv(dpad[:, 2])[None],
-                           rays.tmin[None], t0_[None, :N]], axis=0)
+                           rays.tmin[None], t_prune[None]], axis=0)
     if src.shape[1] != Np:
         src = jnp.pad(src, ((0, 0), (0, Np - src.shape[1])))
     g = jnp.take(src, rix, axis=1)                    # (11, K, B2)
@@ -614,7 +621,12 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
               v=jnp.where(better, pick(v_v), v0)[:N])
     out = (hit,)
     if with_overflow:
-        out = out + ((vcnt > V)[:N],)
+        ovf = (vcnt > V)[:N]
+        if any_hit:
+            # an any-hit ray with SOME hit needs no fallback even if its
+            # visit list overflowed: any hit answers the query
+            ovf = ovf & ~(hit.tri >= 0)
+        out = out + (ovf,)
     if with_iters:
         iters = it1 + it2
         rows = (it1 * jnp.float32(G * LANES)

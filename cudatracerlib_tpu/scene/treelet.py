@@ -38,7 +38,14 @@ import numpy as np
 
 LANES = 128
 TREELET_ROWS = 256          # rows per treelet slab (2 slabs of 128)
-MAX_TOP_ROWS = 16 * 128     # top table must stay on the VMEM path
+# The top table must stay on the VMEM Pallas path, so its cap is DERIVED from
+# that kernel's budget (advisor finding, round 3: scenes whose table fits the
+# VMEM kernel never reach the treelet dispatch, so a top cap above the VMEM
+# cap would make depth-0 peels pure compile overhead — tying the constants
+# keeps "has a tt table" == "too big for the VMEM kernel" an invariant).
+from ..ops.traversal_pl import MAX_SLABS as _PL_MAX_SLABS  # noqa: E402
+
+MAX_TOP_ROWS = _PL_MAX_SLABS * LANES
 
 
 class TreeletTable(NamedTuple):

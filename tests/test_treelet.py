@@ -111,7 +111,7 @@ def test_overflow_fallback_is_exact(scene, part, rays):
         geom.tt_top, part.n_treelets, rays, V=1)
     assert int(dropped) > 0
 
-    with mock.patch.object(traversal_tt, "DEFAULT_V", 1), \
+    with mock.patch.object(traversal8, "V_COHERENT", 1), \
             mock.patch.object(traversal8, "FORCE_TREELET", True):
         hit = traversal8.intersect_scene(geom, rays, coherent=True)
     assert np.array_equal(np.asarray(hit.tri), np.asarray(h_ref.tri))
@@ -119,11 +119,46 @@ def test_overflow_fallback_is_exact(scene, part, rays):
                                rtol=1e-5)
 
 
-def test_pt_depth0_coherent_peel_matches_plain_loop(scene, part):
-    """The PT peels depth 0 out of its bounce loop so primary rays take the
-    coherent treelet kernel (models/path.py). The peel must not change the
-    image: same seed, same scene, peel on (treelet tables + FORCE_TREELET)
-    vs off (plain fori_loop over the single table)."""
+def test_overflow_clip_is_counted(scene, part, rays):
+    """Rays past the fallback batch budget M keep their (possibly pruned)
+    treelet hit — that clipping must surface in the with_iters stats, never
+    silently (VERDICT r3 #9). Adversarial setup: V=1 makes most rays
+    overflow, and a tiny patched budget guarantees clipping."""
+    from unittest import mock
+
+    top_t, slabs_t = treelet.prep_device(part)
+    geom = scene.geom._replace(tt_top=jnp.asarray(top_t),
+                               tt_slabs=jnp.asarray(slabs_t),
+                               tt_vid=jnp.asarray(part.vid_map))
+    res = traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
+                                         geom.tt_vid, rays, V=1,
+                                         with_overflow=True)
+    n_ovf = int(np.asarray(res[1]).sum())
+    assert n_ovf > 32  # sanity: the adversarial wavefront really overflows
+
+    with mock.patch.object(traversal8, "V_COHERENT", 1), \
+            mock.patch.object(traversal8, "FORCE_TREELET", True), \
+            mock.patch.object(traversal8, "FB_MIN", 32), \
+            mock.patch.object(traversal8, "FB_DIV", 1 << 20):
+        _, _, _, clipped = traversal8.intersect_scene(
+            geom, rays, coherent=True, with_iters=True)
+    assert int(clipped) == n_ovf - 32
+
+    # and with the production budget, nothing is clipped on this wavefront
+    with mock.patch.object(traversal8, "V_COHERENT", 1), \
+            mock.patch.object(traversal8, "FORCE_TREELET", True):
+        _, _, _, clipped0 = traversal8.intersect_scene(
+            geom, rays, coherent=True, with_iters=True)
+    assert int(clipped0) == 0
+
+
+def test_pt_treelet_dispatch_matches_plain_loop(scene, part):
+    """The PT peels depth 0 onto the coherent treelet kernel AND (round 4)
+    routes bounce + shadow rays through the treelet kernel with the
+    incoherent visit budget. Neither may change the image: same seed, same
+    scene, treelet dispatch on (tt tables + FORCE_TREELET) vs off (plain
+    fori_loop over the single table)."""
+    import jax
     from unittest import mock
 
     from cudatracerlib_tpu.models import path as pathmod
@@ -137,11 +172,18 @@ def test_pt_depth0_coherent_peel_matches_plain_loop(scene, part):
     w = h = 32
     ref = np.asarray(pathmod.PathTracer(scene, w, h, max_depth=3,
                                         seed=7).render(1))
+    # FORCE_TREELET is a trace-time Python flag OUTSIDE jax's jit cache key:
+    # drop compiled executables so the patched render cannot silently reuse
+    # a no-treelet trace of the same shapes (advisor finding, round 3)
+    jax.clear_caches()
     with mock.patch.object(traversal8, "FORCE_TREELET", True):
-        got = np.asarray(pathmod.PathTracer(scene_tt, w, h, max_depth=3,
-                                            seed=7).render(1))
-    # traversal is exact through the overflow fallback; residual diffs are
-    # t-ULP tie-breaks flipping the odd occlusion ray
+        assert traversal8.treelet_would_dispatch(geom_tt, coherent=False)
+        tr = pathmod.PathTracer(scene_tt, w, h, max_depth=3, seed=7)
+        got = np.asarray(tr.render(1))
+    # the fallback batch never clipped, so traversal is exact through the
+    # overflow fallback; residual diffs are t-ULP tie-breaks flipping the
+    # odd occlusion ray
+    assert float(tr._ovf_dev) == 0.0
     assert np.isfinite(got).all()
     assert abs(got.mean() / ref.mean() - 1.0) < 1e-3
     close = np.isclose(got, ref, rtol=1e-3, atol=1e-4).mean()

@@ -49,19 +49,20 @@ def main():
         return jax.jit(fn)
 
     full = make()
-    args = (scene, film, z, z, z, jnp.int32(0), jnp.int32(0))
+    args = (scene, film, z, z, z, z, jnp.int32(0), jnp.int32(0))
     print(f"full chunk:      {timeit(full, *args)*1e3:8.2f} ms")
 
     no_nee = make(use_nee=False)
     print(f"no NEE:          {timeit(no_nee, *args)*1e3:8.2f} ms")
 
     # stub out traversal entirely: everything misses
-    def fake_intersect(geom, rays, any_hit=False, with_iters=False, roots=None):
+    def fake_intersect(geom, rays, any_hit=False, with_iters=False, roots=None,
+                       coherent=False):
         B = rays.o.shape[0]
         hit = traversal.Hit(t=rays.tmax, tri=jnp.full(B, -1, jnp.int32),
                             u=jnp.zeros(B), v=jnp.zeros(B))
         if with_iters:
-            return hit, jnp.float32(0.0), jnp.float32(0.0)
+            return hit, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)
         return hit
     with mock.patch.object(traversal8, "intersect_scene", fake_intersect):
         no_trace = jax.jit(partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk,

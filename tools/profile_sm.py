@@ -45,7 +45,7 @@ def main():
     at = pathmod.scene_active_types(scene)
     film = filmmod.new_film(w, h)
     z = jnp.float32(0.0)
-    args = (scene, film, z, z, z, jnp.int32(0), jnp.int32(0))
+    args = (scene, film, z, z, z, z, jnp.int32(0), jnp.int32(0))
 
     def make(**over):
         fn = partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk,
@@ -73,7 +73,7 @@ def main():
         hit = traversal.Hit(t=rays.tmax, tri=jnp.full(B, -1, jnp.int32),
                             u=jnp.zeros(B), v=jnp.zeros(B))
         if with_iters:
-            return hit, jnp.float32(0.0), jnp.float32(0.0)
+            return hit, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)
         return hit
     with mock.patch.object(traversal8, "intersect_scene", fake_intersect):
         t = timeit(jax.jit(partial(
@@ -82,7 +82,7 @@ def main():
     print(f"no traversal (all rays miss):              {t*1e3:8.1f} ms")
 
     # traversal only: depth x (closest + shadow) on jittered camera rays
-    def trav_only(scene, film, a, b, c, pass_idx, chunk_idx):
+    def trav_only(scene, film, a, b, c, d, pass_idx, chunk_idx):
         pixel_idx = (chunk_idx * chunk
                      + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
         rays, px, py, state, wt = tracermod.gen_camera_rays(
@@ -100,7 +100,7 @@ def main():
     t = timeit(jax.jit(trav_only), *args)
     print(f"{2*depth}x traversal alone:                     {t*1e3:8.1f} ms")
 
-    def raygen_only(scene, film, a, b, c, pass_idx, chunk_idx):
+    def raygen_only(scene, film, a, b, c, d, pass_idx, chunk_idx):
         pixel_idx = (chunk_idx * chunk
                      + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
         rays, px, py, state, wt = tracermod.gen_camera_rays(
