@@ -49,6 +49,8 @@ REPS = 3
 
 def _setup_jax_cache():
     import jax
+    if os.environ.get("BENCH_FORCE_CPU"):   # harness self-test without a TPU
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -132,6 +134,9 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
         "gather_GBps": round(gbps, 2),
         "pct_of_HBM_peak": round(100.0 * gbps / HBM_PEAK_GBPS, 2),
         "vmem_resident_table": vmem,
+        # treelet overflow rays whose exact re-traversal was clipped by the
+        # fallback batch budget — MUST be 0 or hits may be treelet-pruned
+        "overflow_clipped": int(tr._ovf_dev),
         "image": _save_image(tr.film, key),
     }
 
@@ -154,8 +159,8 @@ def bench_prim():
     # per-pass iteration/row counts (PrimTracer itself has no counter plumbing)
     pix = jnp.arange(w * h, dtype=jnp.int32)
     rays0, _, _, _, _ = tracermod.gen_camera_rays(scene, pix, 0, 0, w, h)
-    _, it1, rw1 = traversal8.intersect_scene(scene.geom, rays0,
-                                             with_iters=True)
+    _, it1, rw1, _ = traversal8.intersect_scene(scene.geom, rays0,
+                                                with_iters=True)
     it1, rw1 = float(it1), float(rw1)
     n_passes = 80            # window sized for floor < 5% (r3: 20 -> 0.24s)
     times = []
@@ -312,28 +317,37 @@ def bench_traversal_kernels():
     rays_inc = type(rays)(o=rays.o[perm], d=rays.d[perm],
                           tmin=rays.tmin[perm], tmax=rays.tmax[perm])
 
-    def run(r, coherent):
-        fn = jax.jit(lambda rr: traversal8.intersect_scene(
-            scene.geom, rr, with_iters=True, coherent=coherent))
-        hit, it, rw = fn(r)          # compile + warm
-        _drain(hit.t)
-        ts = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            hit, it, rw = fn(r)
+    def run(r, mode):
+        # mode: "treelet" (dispatch via the coherent hint) or "xla" (force
+        # the gather loop by disabling the incoherent treelet dispatch)
+        old = traversal8.TREELET_INCOHERENT
+        traversal8.TREELET_INCOHERENT = mode == "treelet"
+        try:
+            fn = jax.jit(lambda rr: traversal8.intersect_scene(
+                scene.geom, rr, with_iters=True,
+                coherent=(mode == "treelet_coh")))
+            hit, it, rw, ovf = fn(r)          # compile + warm
             _drain(hit.t)
-            ts.append(time.perf_counter() - t0)
+            ts = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                hit, it, rw, ovf = fn(r)
+                _drain(hit.t)
+                ts.append(time.perf_counter() - t0)
+        finally:
+            traversal8.TREELET_INCOHERENT = old
         dt, spread = _spread(ts)
         return dict(Mrays_s=round(B / dt / 1e6, 3), seconds=round(dt, 4),
                     spread_rel=spread, loop_iters=int(it),
                     rows_gathered=int(rw),
                     gather_GBps=round(float(rw) * ROW_BYTES / dt / 1e9, 2),
-                    hits=int(jnp.sum(hit.valid)))
+                    hits=int(jnp.sum(hit.valid)),
+                    overflow_clipped=int(ovf))
 
-    res_t = run(rays, True)
-    res_x = run(rays, False)
-    res_ti = run(rays_inc, True)
-    res_xi = run(rays_inc, False)
+    res_t = run(rays, "treelet_coh")
+    res_x = run(rays, "xla")
+    res_ti = run(rays_inc, "treelet")
+    res_xi = run(rays_inc, "xla")
     return {
         "metric": "traversal kernel A/B (1.2M tris, 131k camera rays)",
         "value": res_t["Mrays_s"],
