@@ -446,6 +446,7 @@ class PPMTracer(tracer.TracerBase):
             # beambeam rows are duplicated across many cells per beam: give
             # it a deeper budget (beams are thinned at build, keep_prob=0.25)
             vol_max_per_cell = 24 if vol_estimator == "beambeam" else 16
+        self.vol_max_per_cell = vol_max_per_cell
         self.adaptive_radii = adaptive_radii
         self.final_gather = final_gather
         if adaptive_radii:

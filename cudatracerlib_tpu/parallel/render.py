@@ -169,47 +169,117 @@ def sharded_vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
 def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                      mesh: Mesh, w: int, h: int, radius, n_photons: int = None,
                      max_depth: int = 6, active_types: Sequence[int] = None,
-                     axis: str = "tiles") -> filmmod.Film:
+                     axis: str = "tiles", with_volume: bool = False,
+                     vol_est: str = "beamgrid", vol_max_per_cell: int = 16,
+                     ppm_state=None, alpha: float = 2.0 / 3.0,
+                     final_gather: bool = False):
     """One progressive-photon-mapping pass over the mesh (SURVEY §5): each
-    chip walks its own PHOTON shard locally, the photon rows are
-    all_gather'ed over ICI so every chip owns the full map, the sort-based
-    grid is built redundantly per chip (it has no atomic structure to merge —
-    rebuilding beats shipping sorted cell lists), and the EYE pass shards the
-    pixel axis with a psum'd film."""
+    chip walks its own PHOTON shard locally, the photon rows (surface AND
+    medium photons / photon beams) are all_gather'ed over ICI so every chip
+    owns the full map, the sort-based grids are built redundantly per chip
+    (they have no atomic structure to merge — rebuilding beats shipping
+    sorted cell lists), and the EYE pass shards the pixel axis with a psum'd
+    film.
+
+    Round 4 (VERDICT r3 #7) this covers the reference's flagship PPPM modes:
+    - with_volume + vol_est selects the volumetric estimator exactly like
+      the single-device PPMTracer (`PPPMTracer_PhotonPass.cu:124-209`):
+      medium photons ride the same all_gather'ed row buffer (they're rows
+      with normal==0), photon beams get their own all_gather, and the
+      eye-pass estimators shard with the pixels.
+    - ppm_state (PixelStats) enables per-pixel adaptive kNN radii: the stats
+      are PER-PIXEL and therefore pixel-sharded (in/out specs P(axis)); the
+      only cross-chip coupling is the grid cell size, which must cover the
+      LARGEST per-pixel radius anywhere — one pmax over the mesh.
+    Returns film, or (film, new_ppm_state) when adaptive."""
     from ..models import ppm as ppmmod
+    from ..models import vol_estimators as ve
     if active_types is None:
         active_types = pathmod.scene_active_types(scene)
     n_photons = n_photons or (w * h)
     n_dev = mesh.shape[axis]
     assert n_photons % n_dev == 0 and (w * h) % n_dev == 0
+    adaptive = ppm_state is not None
+    collect_beams = with_volume and vol_est == ve.VOL_BEAMBEAM
+
+    state_specs = (ppmmod.PixelStats(r2=P(axis), n=P(axis), tau=P(axis)),) \
+        if adaptive else ()
+    out_specs = (P(), P(axis)) if adaptive else P()
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis), P(axis), P(), P()),
-             out_specs=P(), check_vma=False)
-    def run(scene, film, photon_ids, pixel_idx, pass_idx, r):
-        rows, valid = ppmmod.trace_photons(
+             in_specs=(P(), P(), P(axis), P(axis), P(), P()) + state_specs,
+             out_specs=out_specs, check_vma=False)
+    def run(scene, film, photon_ids, pixel_idx, pass_idx, r, *st):
+        traced = ppmmod.trace_photons(
             scene, n_photons=photon_ids.shape[0], pass_idx=pass_idx,
             state_seed=0x9907, max_depth=max_depth,
             active_types=tuple(active_types), photon_ids=photon_ids,
-            total_photons=n_photons)
-        rows = jax.lax.all_gather(rows, axis).reshape(-1, rows.shape[-1])
-        valid = jax.lax.all_gather(valid, axis).reshape(-1)
+            total_photons=n_photons, store_medium=with_volume,
+            collect_beams=collect_beams)
+        rows, valid = traced[0], traced[1]
+        Bl = photon_ids.shape[0]
+
+        def gather_exact(x):
+            """all_gather, then restore the single-device row order.
+
+            trace_photons emits rows DEPTH-major: global row index is
+            (depth, photon) with photon = shard * Bl + lane. A plain
+            all_gather+reshape is SHARD-major, which changes which photons
+            the per-cell grid budgets keep when a cell overflows — the
+            sharded image would differ from the single-device one exactly
+            where the map is densest. One transpose restores the order."""
+            g = jax.lax.all_gather(x, axis)          # (S, per*Bl, ...)
+            S_ = g.shape[0]
+            per = g.shape[1] // Bl
+            g = g.reshape((S_, per, Bl) + x.shape[1:])
+            g = jnp.moveaxis(g, 0, 1)                # (per, S, Bl, ...)
+            return g.reshape((-1,) + x.shape[1:])
+
+        rows = gather_exact(rows)
+        valid = gather_exact(valid)
+        if adaptive:
+            # the 2x2x2-neighborhood query is only complete when the cell
+            # covers 2x the largest per-pixel radius ON ANY CHIP
+            cell = 2.0 * jnp.sqrt(jax.lax.pmax(jnp.max(st[0].r2), axis))
+        else:
+            cell = 2.0 * r
         grid = ppmmod._build_surface_grid(rows, valid, scene.world_lo,
-                                          scene.world_hi, 2.0 * r)
-        local = ppmmod.eye_pass(
-            scene, filmmod.new_film(w, h), grid, None, pass_idx,
+                                          scene.world_hi, cell)
+        if not with_volume:
+            vol_grid = None
+        elif vol_est == ve.VOL_BEAMGRID:
+            vol_grid = ppmmod._build_vol_grid_ball(rows, valid, r,
+                                                   scene.world_lo,
+                                                   scene.world_hi)
+        elif vol_est == ve.VOL_BEAMBEAM:
+            beams = gather_exact(traced[2])
+            bvalid = gather_exact(traced[3])
+            vol_grid = ve.build_beam_cells(beams, bvalid, r, scene.world_lo,
+                                           scene.world_hi)
+        else:
+            vol_grid = ppmmod._build_vol_grid_point(rows, valid,
+                                                    scene.world_lo,
+                                                    scene.world_hi, cell)
+        out = ppmmod.eye_pass(
+            scene, filmmod.new_film(w, h), grid, vol_grid, pass_idx,
             w=w, h=h, radius=r, n_emitted=float(n_photons),
             max_depth=max_depth, active_types=tuple(active_types),
-            with_volume=False, pixel_idx=pixel_idx)
-        return film._replace(
+            with_volume=with_volume, vol_est=vol_est,
+            vol_max_per_cell=vol_max_per_cell,
+            ppm_state=st[0] if adaptive else None, alpha=alpha,
+            final_gather=final_gather, pixel_idx=pixel_idx)
+        local, new_state = out if adaptive else (out, None)
+        out_film = film._replace(
             rgb=film.rgb + jax.lax.psum(local.rgb, axis),
             weight=film.weight + jax.lax.psum(local.weight, axis),
             splat=film.splat + jax.lax.psum(local.splat, axis))
+        return (out_film, new_state) if adaptive else out_film
 
     photon_ids = jnp.arange(n_photons, dtype=jnp.int32)
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
-    return jax.jit(run)(scene, film, photon_ids, pixel_idx, jnp.int32(pass_idx),
-                        jnp.float32(radius))
+    args = (scene, film, photon_ids, pixel_idx, jnp.int32(pass_idx),
+            jnp.float32(radius)) + ((ppm_state,) if adaptive else ())
+    return jax.jit(run)(*args)
 
 
 def replicate_scene(scene: schema.SceneData, mesh: Mesh) -> schema.SceneData:
@@ -272,30 +342,34 @@ def _define_sharded_tracers():
                                    active_types=self.active_types)
 
     class _ShardedPPMTracer(ppmmod.PPMTracer):
-        """Surface PPM with photon shards all_gather'ed over the mesh.
-
-        Global-radius surface transport only (adaptive per-pixel radii and
-        the volumetric estimators keep per-chip state the simple replicated
-        schedule cannot shard; use the single-device PPMTracer for those)."""
+        """PPM over a device mesh: photon shards all_gather'ed, pixels (and
+        the per-pixel adaptive-radius statistics, which are pixel-local by
+        construction) sharded, volumetric estimators selectable exactly like
+        the single-device PPMTracer (VERDICT r3 #7: the reference's flagship
+        volumetric PPPM now has a multi-chip story)."""
 
         def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
-            if kw.get("adaptive_radii") or kw.get("final_gather"):
-                raise ValueError("ShardedPPMTracer: adaptive_radii / "
-                                 "final_gather are single-device features")
             self.mesh = mesh or make_mesh()
             super().__init__(replicate_scene(scene, self.mesh),
                              width, height, **kw)
-            if self.with_volume:
-                raise ValueError("ShardedPPMTracer shards surface transport; "
-                                 "volumetric estimators are single-device")
 
         def render_pass(self, scene, film, pass_idx):
-            film = sharded_ppm_pass(scene, film, pass_idx, self.mesh,
-                                    self.width, self.height,
-                                    radius=self.radius,
-                                    n_photons=self.n_photons,
-                                    max_depth=self.max_depth,
-                                    active_types=self.active_types)
+            out = sharded_ppm_pass(scene, film, pass_idx, self.mesh,
+                                   self.width, self.height,
+                                   radius=self.radius,
+                                   n_photons=self.n_photons,
+                                   max_depth=self.max_depth,
+                                   active_types=self.active_types,
+                                   with_volume=self.with_volume,
+                                   vol_est=self.vol_est,
+                                   vol_max_per_cell=self.vol_max_per_cell,
+                                   ppm_state=self._ppm_state,
+                                   alpha=self.alpha,
+                                   final_gather=self.final_gather)
+            if self._ppm_state is not None:
+                film, self._ppm_state = out
+            else:
+                film = out
             i = self.pass_idx + 1.0
             self.radius = float(self.radius
                                 * ((i + self.alpha) / (i + 1.0)) ** 0.5)
