@@ -1049,7 +1049,10 @@ def is_delta_only(ctx: BsdfCtx) -> Array:
 
 
 def scene_has_alpha(scene: schema.SceneData) -> bool:
-    return bool((schema.host_meta(scene)["mat_tex"][:, 2] >= 0).any())
+    meta = schema.host_meta(scene)
+    modes = meta.get("mat_alpha_mode")
+    return bool((meta["mat_tex"][:, 2] >= 0).any()
+                or (modes is not None and (modes != 0).any()))
 
 
 def scene_has_bump(scene: schema.SceneData) -> bool:
@@ -1057,13 +1060,38 @@ def scene_has_bump(scene: schema.SceneData) -> bool:
 
 
 def eval_alpha(scene: schema.SceneData, mat_id: Array, uv: Array) -> Array:
-    """Opacity in [0,1] from the alpha-mask texture slot (1 = solid).
+    """Survival probability in [0,1] of the alpha test (1 = solid).
 
-    Reference: AlphaBlendData alpha-test modes (Engine/Material.h:13-35)."""
-    tex_ids = jnp.take(scene.materials.tex, jnp.maximum(mat_id, 0), axis=0)
-    a = texmod.eval_texture(scene.textures, tex_ids[:, 2], uv,
-                            jnp.ones((mat_id.shape[0], 3)))
-    return jnp.clip(a[:, 0], 0.0, 1.0)
+    Reference: AlphaBlendData alpha-test modes (Engine/Material.h:13-35,
+    Material.cu:160-189 AlphaTest). Mode 0 with an alpha-mask texture keeps
+    the continuous Mitsuba opacity semantics (the stochastic pass in the
+    integrators realizes it); the reference's binary modes come out as 0/1:
+      mode&3==1  luminance(sample) >= s survives
+      mode&3==2  alpha channel    >= s survives
+      mode&3==3  max|sample - c|  <= s survives
+      mode&4     sample the reflectance texture (slot 0), not the alpha mask
+    (the texel pool is RGB; loaders pack RGBA alpha channels into their own
+    gray textures, so the 'alpha channel' is channel 0 of the mask image)."""
+    mid = jnp.maximum(mat_id, 0)
+    tex_ids = jnp.take(scene.materials.tex, mid, axis=0)
+    mp = jnp.take(scene.materials.params[:, 32:37], mid, axis=0)
+    mode = mp[:, 0].astype(jnp.int32)
+    s_val = mp[:, 1]
+    c_val = mp[:, 2:5]
+    src = jnp.where(mode & 4 != 0, tex_ids[:, 0], tex_ids[:, 2])
+    ones = jnp.ones((mat_id.shape[0], 3))
+    a = texmod.eval_texture(scene.textures, src, uv, ones)
+    cont = jnp.clip(a[:, 0], 0.0, 1.0)          # mode 0: continuous opacity
+    lum = a @ jnp.asarray([0.212671, 0.715160, 0.072169])
+    surv_lum = (lum >= s_val).astype(jnp.float32)
+    surv_alp = (a[:, 0] >= s_val).astype(jnp.float32)
+    surv_col = (jnp.max(jnp.abs(a - c_val), -1) <= s_val).astype(jnp.float32)
+    m3 = mode & 3
+    out = jnp.where(m3 == schema.ALPHA_LUMINANCE, surv_lum,
+                    jnp.where(m3 == schema.ALPHA_ALPHA, surv_alp,
+                              jnp.where(m3 == schema.ALPHA_COLOR, surv_col,
+                                        cont)))
+    return jnp.where(mode == 0, cont, out)
 
 
 def apply_bump(scene: schema.SceneData, si, scale: float = 1.0):

@@ -68,6 +68,12 @@ class MaterialSpec:
     tex_transmittance: Optional[TextureSpec] = None
     tex_alpha_mask: Optional[TextureSpec] = None
     tex_bump: Optional[TextureSpec] = None
+    # alpha-blend test (reference AlphaBlendData, Engine/Material.h:13-35):
+    # 0 keeps the continuous Mitsuba opacity semantics of tex_alpha_mask;
+    # schema.ALPHA_* modes make the test binary (luminance / alpha / color)
+    alpha_mode: int = 0
+    alpha_test: float = 0.5
+    alpha_test_color: tuple = (0.0, 0.0, 0.0)
     parallax_scale: float = 0.0   # >0: parallax-occlusion mapping with the bump height map
     # BSSRDF: internal medium attached to the surface (reference
     # Material.h:38-60 GetBSSRDF); paths transmitting into the surface
@@ -118,6 +124,9 @@ def _pack_material(spec: MaterialSpec, mats: list, texs: list) -> int:
     p[25:28] = spec.bssrdf_sigma_a
     p[28:31] = spec.bssrdf_sigma_s
     p[31] = spec.bssrdf_g
+    p[32] = spec.alpha_mode
+    p[33] = spec.alpha_test
+    p[34:37] = spec.alpha_test_color
     # sigma_s/sigma_a for hk share the color slots (c0/c1) by convention
     row = dict(mat_type=spec.bsdf_type, params=p,
                tex=np.array([tex_id(spec.tex_reflectance), tex_id(spec.tex_transmittance),
@@ -507,6 +516,7 @@ class DynamicScene:
             mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
             mat_parallax=np.asarray([m["params"][24] for m in mats], np.float32),
             mat_bssrdf=np.asarray([float(m["params"][25:31].sum()) for m in mats], np.float32),
+            mat_alpha_mode=np.asarray([m["params"][32] for m in mats], np.float32),
             world_lo=np.asarray(b.world_lo, np.float32),
             world_hi=np.asarray(b.world_hi, np.float32),
             light_type=np.asarray([l["light_type"] for l in self._lights]
@@ -712,6 +722,7 @@ class DynamicScene:
             mat_tex=np.stack([np.asarray(m["tex"], np.int32) for m in mats]),
             mat_parallax=np.asarray([m["params"][24] for m in mats], np.float32),
             mat_bssrdf=np.asarray([float(m["params"][25:31].sum()) for m in mats], np.float32),
+            mat_alpha_mode=np.asarray([m["params"][32] for m in mats], np.float32),
             world_lo=w_lo, world_hi=w_hi,
             light_type=np.asarray([l["light_type"] for l in self._lights]
                                   + [schema.LIGHT_DIFFUSE] * len(area_lights)

@@ -288,7 +288,23 @@ def parse_bsdf(elem: ET.Element, ctx: _Ctx) -> host.MaterialSpec:
     elif btype == "mask":
         inner = parse_bsdf(child_bsdfs[0], ctx) if child_bsdfs else host.MaterialSpec()
         _, opac_tex = _color_or_tex(props, nested, ctx, ("opacity",), (1, 1, 1))
-        spec = _clone(inner, tex_alpha_mask=opac_tex)
+        # extension props mapping to the reference's AlphaBlendState modes
+        # (Engine/Material.h:13-35): default stays Mitsuba's continuous
+        # opacity; alphaMode in {luminance, alpha, color} makes it a binary
+        # test at threshold alphaTest (optionally against alphaTestColor and
+        # sampling the reflectance texture with alphaSource="reflectance")
+        mode_name = str(props.get("alphaMode", "")).lower()
+        mode = {"": 0, "luminance": schema.ALPHA_LUMINANCE,
+                "alpha": schema.ALPHA_ALPHA,
+                "color": schema.ALPHA_COLOR}.get(mode_name, 0)
+        if mode and str(props.get("alphaSource", "")).lower() == "reflectance":
+            mode |= schema.ALPHA_SRC_REFLECTANCE
+        tc = props.get("alphaTestColor", (0.0, 0.0, 0.0))
+        if isinstance(tc, str):
+            tc = tuple(float(x) for x in tc.replace(",", " ").split())
+        spec = _clone(inner, tex_alpha_mask=opac_tex, alpha_mode=mode,
+                      alpha_test=float(props.get("alphaTest", 0.5)),
+                      alpha_test_color=tuple(tc))
     elif btype == "bumpmap":
         inner = parse_bsdf(child_bsdfs[0], ctx) if child_bsdfs else host.MaterialSpec()
         bump = None

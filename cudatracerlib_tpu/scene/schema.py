@@ -64,8 +64,20 @@ TEX_EXTRADATA = 6
 
 # Microfacet distribution sub-type lives in material params (core.microfacet)
 
-N_MAT_PARAMS = 32
+N_MAT_PARAMS = 40  # slots 32..36 hold the alpha-blend test (see below)
 N_MAT_TEX = 4      # texture slots: 0=reflectance/specular, 1=second albedo/transmittance, 2=alpha-mask, 3=bump/normal
+
+# Alpha-blend test modes (reference Engine/Material.h:13-35 AlphaBlendState):
+# material params [32] = mode, [33] = test_val_scalar, [34:37] = test color.
+# mode & 3: 1 = luminance >= s survives, 2 = alpha channel >= s survives,
+# 3 = max|sample - color| <= s survives; mode & 4: sample the REFLECTANCE
+# texture (slot 0) instead of the alpha-mask texture (slot 2). mode 0 with an
+# alpha-mask texture = continuous Mitsuba-style opacity (stochastic pass).
+ALPHA_DISABLED = 0
+ALPHA_LUMINANCE = 1
+ALPHA_ALPHA = 2
+ALPHA_COLOR = 3
+ALPHA_SRC_REFLECTANCE = 4
 N_LIGHT_PARAMS = 24
 N_TEX_PARAMS = 12
 

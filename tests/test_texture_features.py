@@ -420,3 +420,90 @@ def test_spectral_dispersion_renders_rainbow():
     tr_rgb = pathmod.PathTracer(scene, 16, 16, max_depth=4, chunk_size=256)
     img_rgb = np.asarray(tr_rgb.render(8))
     assert abs(img.mean() - img_rgb.mean()) / img_rgb.mean() < 0.3
+
+
+class TestAlphaBlendModes:
+    """Binary alpha-test modes (reference AlphaBlendState, Engine/Material.h:13-35)."""
+
+    @staticmethod
+    def _eval(spec, uv=(0.5, 0.5)):
+        import jax.numpy as jnp
+        from cudatracerlib_tpu.models import bsdf as bsdfmod
+        sc = host.DynamicScene()
+        m = sc.add_material(spec)
+        sc.create_node(shapes.rectangle(), m)
+        sc.set_sensor(sensors.make_sensor(
+            schema.SENSOR_PERSPECTIVE, tf.look_at([0, 0, -2], [0, 0, 1]),
+            film_w=4, film_h=4))
+        scene = sc.build()
+        mat_id = jnp.full(4, m, jnp.int32)
+        uvs = jnp.tile(jnp.asarray([uv], jnp.float32), (4, 1))
+        return float(np.asarray(bsdfmod.eval_alpha(scene, mat_id, uvs))[0]), scene
+
+    def _mask(self, value):
+        return host.TextureSpec(tex_type=schema.TEX_CONSTANT, value=value)
+
+    def test_mode0_is_continuous(self):
+        a, _ = self._eval(host.MaterialSpec(tex_alpha_mask=self._mask((0.25,) * 3)))
+        np.testing.assert_allclose(a, 0.25, atol=1e-5)
+
+    def test_luminance_threshold_binary(self):
+        bright = host.MaterialSpec(tex_alpha_mask=self._mask((0.9, 0.9, 0.9)),
+                                   alpha_mode=schema.ALPHA_LUMINANCE, alpha_test=0.5)
+        dark = host.MaterialSpec(tex_alpha_mask=self._mask((0.1, 0.1, 0.1)),
+                                 alpha_mode=schema.ALPHA_LUMINANCE, alpha_test=0.5)
+        assert self._eval(bright)[0] == 1.0
+        assert self._eval(dark)[0] == 0.0
+
+    def test_alpha_channel_mode(self):
+        spec = host.MaterialSpec(tex_alpha_mask=self._mask((0.6, 0.0, 0.0)),
+                                 alpha_mode=schema.ALPHA_ALPHA, alpha_test=0.5)
+        assert self._eval(spec)[0] == 1.0
+        spec2 = host.MaterialSpec(tex_alpha_mask=self._mask((0.4, 0.0, 0.0)),
+                                  alpha_mode=schema.ALPHA_ALPHA, alpha_test=0.5)
+        assert self._eval(spec2)[0] == 0.0
+
+    def test_color_match_mode(self):
+        key = (0.2, 0.8, 0.3)
+        spec = host.MaterialSpec(tex_alpha_mask=self._mask(key),
+                                 alpha_mode=schema.ALPHA_COLOR, alpha_test=0.05,
+                                 alpha_test_color=key)
+        assert self._eval(spec)[0] == 1.0  # matches the key color -> survives
+        spec2 = host.MaterialSpec(tex_alpha_mask=self._mask((0.9, 0.1, 0.1)),
+                                  alpha_mode=schema.ALPHA_COLOR, alpha_test=0.05,
+                                  alpha_test_color=key)
+        assert self._eval(spec2)[0] == 0.0
+
+    def test_reflectance_source_flag(self):
+        # no alpha-mask texture at all: mode&4 samples the reflectance slot
+        refl = host.TextureSpec(tex_type=schema.TEX_CONSTANT, value=(0.9,) * 3)
+        spec = host.MaterialSpec(
+            tex_reflectance=refl,
+            alpha_mode=schema.ALPHA_LUMINANCE | schema.ALPHA_SRC_REFLECTANCE,
+            alpha_test=0.5)
+        a, scene = self._eval(spec)
+        assert a == 1.0
+        from cudatracerlib_tpu.models import bsdf as bsdfmod
+        assert bsdfmod.scene_has_alpha(scene)  # mode != 0 counts even w/o mask tex
+
+    def test_mitsuba_alpha_mode_parse(self, tmp_path):
+        xml = """<scene version="0.5.0">
+          <bsdf type="mask" id="cutout">
+            <texture type="checkerboard" name="opacity"/>
+            <string name="alphaMode" value="luminance"/>
+            <float name="alphaTest" value="0.6"/>
+            <bsdf type="diffuse"/>
+          </bsdf>
+          <shape type="rectangle"><ref id="cutout"/></shape>
+          <sensor type="perspective">
+            <film type="hdrfilm"><integer name="width" value="8"/>
+              <integer name="height" value="8"/></film>
+          </sensor>
+        </scene>"""
+        from cudatracerlib_tpu.scene.loader import mitsuba
+        p = tmp_path / "alpha.xml"
+        p.write_text(xml)
+        sc, _ = mitsuba.load_mitsuba(str(p))
+        scene = sc.build()
+        meta = schema.host_meta(scene)
+        assert (meta["mat_alpha_mode"] == schema.ALPHA_LUMINANCE).any()

@@ -73,32 +73,37 @@ def main():
     pix = jnp.arange(B, dtype=jnp.int32)
     cam, _, _, _, _ = tracermod.gen_camera_rays(scene, pix, 0, 0, w, h)
 
-    # first hits (exact XLA path) -> surface origins for bounce/shadow sets
-    h0 = traversal8.intersect_wide_persistent(geom.wide, cam, rays_per_lane=16)
-    valid = np.asarray(h0.valid)
-    p = np.asarray(cam.o + cam.d * np.asarray(h0.t)[:, None])
+    # first hits (exact XLA path) -> surface origins for bounce/shadow sets.
+    # Everything stays ON DEVICE: the axon tunnel fails large D2H transfers
+    # (FAILED_PRECONDITION), so only scalar reductions come back.
     rng = np.random.default_rng(4)
     d_rand = rng.normal(size=(B, 3)).astype(np.float32)
     d_rand /= np.linalg.norm(d_rand, axis=1, keepdims=True)
-    lift = 1e-3
-    bounce = traversal.Rays(
-        o=jnp.asarray(p - lift * np.asarray(cam.d)),
-        d=jnp.asarray(d_rand), tmin=jnp.zeros(B),
-        tmax=jnp.where(jnp.asarray(valid), 1e30, 0.0))
-    # shadow proxy: from surface points toward one light-ish region corner
-    meta_hi = np.asarray(scene.world_hi)
-    lp = meta_hi * np.float32(0.9)
-    dl = lp[None, :] - p
-    dist = np.linalg.norm(dl, axis=1, keepdims=True)
-    shadow = traversal.Rays(
-        o=jnp.asarray(p - lift * np.asarray(cam.d)),
-        d=jnp.asarray(dl / np.maximum(dist, 1e-6)), tmin=jnp.zeros(B),
-        tmax=jnp.where(jnp.asarray(valid), jnp.asarray(dist[:, 0] * 0.999),
-                       0.0))
+    d_rand = jnp.asarray(d_rand)
+
+    @jax.jit
+    def make_sets(cam, d_rand):
+        h0 = traversal8.intersect_wide_persistent(geom.wide, cam,
+                                                  rays_per_lane=16)
+        valid = h0.valid
+        p = cam.o + cam.d * h0.t[:, None]
+        o = p - 1e-3 * cam.d
+        bounce = traversal.Rays(o=o, d=d_rand, tmin=jnp.zeros(B),
+                                tmax=jnp.where(valid, 1e30, 0.0))
+        lp = scene.world_hi * 0.9
+        dl = lp[None, :] - p
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(dl * dl, -1), 1e-12))
+        shadow = traversal.Rays(o=o, d=dl / dist[:, None],
+                                tmin=jnp.zeros(B),
+                                tmax=jnp.where(valid, dist * 0.999, 0.0))
+        return bounce, shadow, jnp.sum(valid)
+
+    bounce, shadow, n_live = make_sets(cam, d_rand)
+    valid_sum = _drain(n_live)
 
     sets = {"camera": (cam, False), "bounce": (bounce, False),
             "shadow": (shadow, True)}
-    out = {"n_rays": B, "live": int(valid.sum())}
+    out = {"n_rays": B, "live": int(valid_sum)}
 
     for name, (rays, any_hit) in sets.items():
         res = {}
@@ -111,11 +116,8 @@ def main():
                 geom.tt_top, geom.tt_slabs, geom.tt_vid, r, any_hit=ah,
                 V=V, with_overflow=True))
             t, (hit_t, ovf) = timeit(fn_t, rays)
-            n_ovf = int(jnp.sum(ovf))
-            agree = int(jnp.sum((hit_t.tri == hit_x.tri)
-                                | ovf | ~hit_x.valid & ~hit_t.valid))
             res[f"treelet_V{V}"] = dict(t, hits=int(jnp.sum(hit_t.valid)),
-                                        overflow=n_ovf)
+                                        overflow=int(jnp.sum(ovf)))
             # full production dispatch (treelet + exact fallback)
             old = traversal8.TREELET_INCOHERENT
             traversal8.TREELET_INCOHERENT = True
