@@ -13,6 +13,12 @@ from ..scene import schema
 
 Array = jax.Array
 
+# True-EWA quadrature along the footprint's major axis (reference ellipse
+# walk: Engine/MIPMap_device.h:57-83). The eccentricity clamp mirrors the
+# reference's minor-axis scaling so EWA_N_TAPS probes always suffice.
+EWA_MAX_ANISO = 8.0
+EWA_N_TAPS = 9
+
 
 def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
                  default: Array, uv_footprint: Array | None = None,
@@ -67,7 +73,15 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
             jax.lax.bitcast_convert_type(row[:, -1], jnp.int32), 0)
         nm = jnp.take(tex.img_nmips, img_row)
         w0 = jnp.take(tex.img_w[:, 0], img_row).astype(jnp.float32)
-        texels_covered = uv_footprint * jnp.abs(p[:, 6]) * w0
+        minor = uv_footprint
+        if ewa_dir is not None:
+            # eccentricity clamp (reference MIPMap_device.h:61-66 scales the
+            # minor axis when the ellipse is too eccentric): widening the
+            # minor axis raises the LOD so the fixed tap count still covers
+            # the whole ellipse without aliasing
+            major_c = jnp.maximum(ewa_major, minor)
+            minor = jnp.maximum(minor, major_c / EWA_MAX_ANISO)
+        texels_covered = minor * jnp.abs(p[:, 6]) * w0
         lod = jnp.log2(jnp.maximum(texels_covered, 1.0))
         l = jnp.clip(lod, 0.0, nm.astype(jnp.float32) - 1.0)
         l0 = jnp.floor(l).astype(jnp.int32)
@@ -81,17 +95,28 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
         if ewa_dir is None:
             c_image = tri_at(u, v)
         else:
-            # 5 gaussian taps spanning (major - minor) along the major axis;
-            # the LOD above already covers the minor width
-            span = jnp.maximum(ewa_major - uv_footprint, 0.0)
+            # True EWA along the footprint's major axis: fixed-count probes
+            # (data-independent; TPU has no per-lane loop bounds) placed over
+            # the ellipse extent not already covered by the trilinear minor
+            # width, weighted by the reference's gaussian falloff LUT
+            # w(r^2) = exp(-2 r^2) - exp(-2) (Engine/MIPMap_device.h:57-83
+            # builds exactly this table; here the closed form replaces the
+            # 128-entry LUT since taps are compile-time constants).
+            span = jnp.maximum(major_c - minor, 0.0)
             # tap offsets are in RAW uv; scale into the texture's mapped uv
             du = ewa_dir[:, 0] * span * p[:, 6]
             dv = ewa_dir[:, 1] * span * p[:, 7]
-            taps = (-0.5, -0.25, 0.0, 0.25, 0.5)
-            wts = (0.13, 0.235, 0.27, 0.235, 0.13)
+            import math
+            n_taps = EWA_N_TAPS
             c_image = jnp.zeros_like(c_const)
-            for t_, w_ in zip(taps, wts):
-                c_image = c_image + w_ * tri_at(u + du * t_, v + dv * t_)
+            w_sum = 0.0
+            for i in range(n_taps):
+                r = 2.0 * i / (n_taps - 1) - 1.0       # ellipse-normalized
+                w_ = math.exp(-2.0 * r * r) - math.exp(-2.0)
+                w_sum += w_
+                c_image = c_image + w_ * tri_at(u + du * (r * 0.5),
+                                                v + dv * (r * 0.5))
+            c_image = c_image / w_sum
 
     # wireframe: distance to nearest triangle edge is integrator-side; here
     # approximate with uv-grid lines (exact version uses barycentrics)

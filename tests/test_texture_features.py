@@ -507,3 +507,76 @@ class TestAlphaBlendModes:
         scene = sc.build()
         meta = schema.host_meta(scene)
         assert (meta["mat_alpha_mode"] == schema.ALPHA_LUMINANCE).any()
+
+
+def test_ewa_matches_bruteforce_ellipse():
+    """True EWA (gaussian LUT taps + eccentricity clamp) vs a brute-force
+    supersampled elliptical gaussian footprint on a checker at grazing
+    anisotropy. Reference: Engine/MIPMap_device.h:57-83 ellipse walk."""
+    import jax.numpy as jnp
+    from cudatracerlib_tpu.ops import texture as texmod
+
+    # 8-texel checker, 128x128 -> high frequency along both axes
+    img = (((np.indices((128, 128)) // 8).sum(0) % 2) * 1.0).astype(np.float32)
+    img = np.repeat(img[..., None], 3, -1)
+    sc = host.DynamicScene()
+    spec = host.TextureSpec(tex_type=schema.TEX_IMAGE, image=img)
+    m = sc.add_material(host.MaterialSpec(tex_reflectance=spec))
+    sc.create_node(shapes.rectangle(), m)
+    sc.set_sensor(sensors.make_sensor(schema.SENSOR_PERSPECTIVE,
+                                      tf.look_at([0, 0, -3], [0, 0, 0]),
+                                      film_w=8, film_h=8))
+    scene = sc.build()
+
+    r = np.random.default_rng(11)
+    B = 512
+    uv = r.random((B, 2)).astype(np.float32)
+    minor = np.full(B, 2.0 / 128, np.float32)        # ~2 texels
+    major = minor * 16.0                              # strongly anisotropic
+    theta = r.random(B).astype(np.float32) * np.pi
+    edir = np.stack([np.cos(theta), np.sin(theta)], -1)
+
+    tex_id = jnp.zeros(B, jnp.int32)
+    default = jnp.zeros((B, 3))
+
+    def run(fp, ed=None, em=None):
+        kw = {}
+        if ed is not None:
+            kw = dict(ewa_dir=jnp.asarray(ed), ewa_major=jnp.asarray(em))
+        return np.asarray(texmod.eval_texture(
+            scene.textures, tex_id, jnp.asarray(uv), default,
+            uv_footprint=jnp.asarray(fp), **kw))
+
+    ewa = run(minor, edir, major)
+    tri_minor = run(minor)            # aliases along the major axis
+    tri_major = run(major)            # over-blurs the minor axis
+
+    # ground truth: dense elliptical gaussian quadrature over mip 0 texels
+    perp = np.stack([-edir[:, 1], edir[:, 0]], -1)
+    N = 33
+    s = np.linspace(-1, 1, N, dtype=np.float32)
+    s1, s2 = np.meshgrid(s, s, indexing="ij")
+    wgt = np.exp(-2.0 * (s1**2 + s2**2)) - np.exp(-2.0)
+    wgt = np.maximum(wgt, 0.0).ravel()
+    truth = np.zeros((B, 3), np.float32)
+    H, W = 128, 128
+    for k, (a, b) in enumerate(zip(s1.ravel(), s2.ravel())):
+        p = (uv + edir * (major * 0.5 * a)[:, None]
+             + perp * (minor * 0.5 * b)[:, None])
+        x = (p[:, 0] % 1.0) * W - 0.5
+        y = ((1.0 - p[:, 1] % 1.0) % 1.0) * H - 0.5
+        x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+        fx, fy = (x - x0)[:, None], (y - y0)[:, None]
+        g = lambda xi, yi: img[yi % H, xi % W]
+        c = (g(x0, y0) * (1 - fx) * (1 - fy) + g(x0 + 1, y0) * fx * (1 - fy)
+             + g(x0, y0 + 1) * (1 - fx) * fy + g(x0 + 1, y0 + 1) * fx * fy)
+        truth += wgt[k] * c
+    truth /= wgt.sum()
+
+    rmse = lambda a: float(np.sqrt(((a - truth) ** 2).mean()))
+    e_ewa, e_min, e_maj = rmse(ewa), rmse(tri_minor), rmse(tri_major)
+    # EWA must beat BOTH isotropic extremes by a clear margin...
+    assert e_ewa < 0.6 * e_min, (e_ewa, e_min)
+    assert e_ewa < 0.6 * e_maj, (e_ewa, e_maj)
+    # ...and be close to the reference-quality filter in absolute terms
+    assert e_ewa < 0.08, e_ewa
