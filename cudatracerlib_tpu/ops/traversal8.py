@@ -448,58 +448,9 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
             return res[0], res[1], res[2], jnp.float32(0.0)
         return res
     if treelet_would_dispatch(geom, coherent=coherent, roots=roots):
-        from . import traversal_tt
-        res = traversal_tt.intersect_treelet(
-            geom.tt_top, geom.tt_slabs, geom.tt_vid, rays, any_hit=any_hit,
-            V=V_COHERENT if coherent else V_INCOHERENT,
-            with_overflow=True, with_iters=with_iters)
-        hit, ovf = res[0], res[1]
-        # EXACTNESS: rays whose treelet-visit list overflowed the V budget
-        # may have missed their closest hit. COMPACT them (variadic sort
-        # puts overflow rays first), re-traverse only a fixed small batch on
-        # the XLA single-table loop pruned to the treelet t, and scatter the
-        # wins back. With zero overflow every batch lane is dead (tmax=0)
-        # and the lockstep loop exits after one iteration — the fallback
-        # then costs only its (small) gather glue. Rays past the M budget
-        # keep the treelet hit; that clipping is COUNTED (4th stats output)
-        # so callers/benches detect budget exhaustion instead of silently
-        # rendering with pruned hits.
-        B = rays.o.shape[0]
-        # bounce/shadow rays overflow far more than primaries, so the batch
-        # holds ~an eighth of the wavefront (constants are module-level so
-        # tests can construct adversarial clipping)
-        M = max(min(B, FB_MIN), B // FB_DIV)
-        iota = jnp.arange(B, dtype=jnp.int32)
-        _, rid = jax.lax.sort((1 - ovf.astype(jnp.int32), iota), num_keys=1)
-        # re-sorting the selected ids makes the write-back scatters eligible
-        # for the sorted+unique fast path (arbitrary-index scatters are
-        # near-serial on TPU — measured ~12ms for 4x16k here)
-        rid_m = jnp.sort(rid[:M])
-        is_ovf_m = jnp.take(ovf, rid_m)
-        fb_rays = Rays(o=jnp.take(rays.o, rid_m, axis=0),
-                       d=jnp.take(rays.d, rid_m, axis=0),
-                       tmin=jnp.take(rays.tmin, rid_m),
-                       tmax=jnp.where(is_ovf_m, jnp.take(hit.t, rid_m), 0.0))
-        K = DEFAULT_RAYS_PER_LANE
-        if M % K == 0 and M >= 4 * K:
-            # persistent lanes amortize the lockstep worst-lane tail over
-            # the (mostly dead) fallback batch
-            fb = intersect_wide_persistent(geom.wide, fb_rays,
-                                           rays_per_lane=K, any_hit=any_hit)
-        else:
-            fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit)
-        # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
-        win = fb.valid & is_ovf_m
-        upd = lambda dst, src: dst.at[rid_m].set(
-            jnp.where(win, src, jnp.take(dst, rid_m)),
-            indices_are_sorted=True, unique_indices=True)
-        hit = Hit(t=upd(hit.t, fb.t), tri=upd(hit.tri, fb.tri),
-                  u=upd(hit.u, fb.u), v=upd(hit.v, fb.v))
-        if with_iters:
-            clipped = jnp.maximum(
-                jnp.sum(ovf.astype(jnp.float32)) - jnp.float32(M), 0.0)
-            return hit, res[2], res[3], clipped
-        return hit
+        return intersect_treelet_exact(geom, rays, any_hit=any_hit,
+                                       coherent=coherent,
+                                       with_iters=with_iters)
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         res = intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
@@ -511,3 +462,70 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
     if with_iters:
         return res[0], res[1], res[2], jnp.float32(0.0)
     return res
+
+
+def intersect_treelet_exact(geom, rays: Rays, any_hit: bool = False,
+                            coherent: bool = False, with_iters: bool = False,
+                            roots: Array = None, roots_top: Array = None):
+    """Treelet two-phase traversal + the COUNTED exactness fallback.
+
+    Shared by the non-instanced dispatch above and the instanced BLAS path
+    (ops/instanced.py): with per-lane `roots_top` (top-local start rows,
+    treelet.TreeletTable.root_top) each lane traverses its own BLAS subtree
+    of the forest-partitioned table; `roots` carries the matching GLOBAL
+    wide-table rows for the overflow fallback's re-traversal."""
+    from . import traversal_tt
+    res = traversal_tt.intersect_treelet(
+        geom.tt_top, geom.tt_slabs, geom.tt_vid, rays, any_hit=any_hit,
+        V=V_COHERENT if coherent else V_INCOHERENT,
+        with_overflow=True, with_iters=with_iters, roots=roots_top)
+    hit, ovf = res[0], res[1]
+    # EXACTNESS: rays whose treelet-visit list overflowed the V budget
+    # may have missed their closest hit. COMPACT them (variadic sort
+    # puts overflow rays first), re-traverse only a fixed small batch on
+    # the XLA single-table loop pruned to the treelet t, and scatter the
+    # wins back. With zero overflow every batch lane is dead (tmax=0)
+    # and the lockstep loop exits after one iteration — the fallback
+    # then costs only its (small) gather glue. Rays past the M budget
+    # keep the treelet hit; that clipping is COUNTED (4th stats output)
+    # so callers/benches detect budget exhaustion instead of silently
+    # rendering with pruned hits.
+    B = rays.o.shape[0]
+    # bounce/shadow rays overflow far more than primaries, so the batch
+    # holds ~an eighth of the wavefront (constants are module-level so
+    # tests can construct adversarial clipping)
+    M = max(min(B, FB_MIN), B // FB_DIV)
+    iota = jnp.arange(B, dtype=jnp.int32)
+    _, rid = jax.lax.sort((1 - ovf.astype(jnp.int32), iota), num_keys=1)
+    # re-sorting the selected ids makes the write-back scatters eligible
+    # for the sorted+unique fast path (arbitrary-index scatters are
+    # near-serial on TPU — measured ~12ms for 4x16k here)
+    rid_m = jnp.sort(rid[:M])
+    is_ovf_m = jnp.take(ovf, rid_m)
+    fb_rays = Rays(o=jnp.take(rays.o, rid_m, axis=0),
+                   d=jnp.take(rays.d, rid_m, axis=0),
+                   tmin=jnp.take(rays.tmin, rid_m),
+                   tmax=jnp.where(is_ovf_m, jnp.take(hit.t, rid_m), 0.0))
+    fb_roots = None if roots is None else jnp.take(roots, rid_m)
+    K = DEFAULT_RAYS_PER_LANE
+    if M % K == 0 and M >= 4 * K:
+        # persistent lanes amortize the lockstep worst-lane tail over
+        # the (mostly dead) fallback batch
+        fb = intersect_wide_persistent(geom.wide, fb_rays,
+                                       rays_per_lane=K, any_hit=any_hit,
+                                       roots=fb_roots)
+    else:
+        fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit,
+                            roots=fb_roots)
+    # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
+    win = fb.valid & is_ovf_m
+    upd = lambda dst, src: dst.at[rid_m].set(
+        jnp.where(win, src, jnp.take(dst, rid_m)),
+        indices_are_sorted=True, unique_indices=True)
+    hit = Hit(t=upd(hit.t, fb.t), tri=upd(hit.tri, fb.tri),
+              u=upd(hit.u, fb.u), v=upd(hit.v, fb.v))
+    if with_iters:
+        clipped = jnp.maximum(
+            jnp.sum(ovf.astype(jnp.float32)) - jnp.float32(M), 0.0)
+        return hit, res[2], res[3], clipped
+    return hit

@@ -375,13 +375,16 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                       G: int = DEFAULT_G, K2: int = DEFAULT_K2,
                       G2: int = DEFAULT_G2, V: int = DEFAULT_V,
                       max_iters: int = 4096, with_iters: bool = False,
-                      with_overflow: bool = False, _stage: int = 4):
+                      with_overflow: bool = False, _stage: int = 4,
+                      roots: "Array | None" = None):
     """Two-phase treelet traversal.
 
     top_t:   (128, S_top*128) transposed top table (traversal_pl.prep_table)
     slabs_t: (n_treelets + 1, 128, treelet_rows) transposed treelet slabs;
              the LAST slab is the all-inert pad slab (row-0 links DONE).
     vid_map: (n_vids, 2) i32 — visit id -> (treelet id, local root row).
+    roots:   optional (N,) i32 TOP-LOCAL start row per ray (instanced BLAS
+             forests: treelet.TreeletTable.root_top[instance]); default row 0.
 
     with_overflow: also return a per-ray bool marking rays whose visit list
     overflowed the V budget — their hit may be incomplete and the caller
@@ -399,7 +402,8 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
 
     # ---------------- phase 1: top traversal ----------------
     attrs = _pack_attrs(rays.o, rays.d, rays.tmin, rays.tmax,
-                        jnp.zeros(N, jnp.int32), Np)
+                        jnp.zeros(N, jnp.int32) if roots is None else roots,
+                        Np)
     B1 = Np // K
     attrs = attrs.reshape(12, K, B1)
     kern1 = partial(_top_kernel, n_slabs=n_slabs_top, n_top=n_top,

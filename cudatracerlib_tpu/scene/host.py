@@ -634,11 +634,28 @@ class DynamicScene:
 
         catp = lambda k: np.concatenate([a[k] for a in all_arrs])
         v0a, v1a, v2a = catp(0), catp(1), catp(2)
+        wide_all = np.concatenate(wides)
+        # HBM-scale shared-BLAS forests take the two-phase treelet traversal
+        # too (VERDICT r3 #5): partition from EVERY part root; instances map
+        # to their BLAS root's top-local row via root_top
+        part_roots = tuple(int(p["root"]) for p in parts)
+        tt_top = tt_slabs = tt_vid = None
+        root_top_of = None
+        from . import treelet as treeletmod
+        tpart = treeletmod.partition_cached(wide_all, roots=part_roots)
+        if tpart is not None:
+            top_np, slabs_np = treeletmod.prep_device(tpart)
+            tt_top = jnp.asarray(top_np)
+            tt_slabs = jnp.asarray(slabs_np)
+            tt_vid = jnp.asarray(tpart.vid_map)
+            root_top_of = {r: int(t)
+                           for r, t in zip(part_roots, tpart.root_top)}
         geom = schema.GeometryTable(
             tris=None,  # deduplicated; area lights use LightTable.al_rows
             nodes=jnp.zeros((1, 16), jnp.float32),
             tri_order=jnp.arange(v0a.shape[0], dtype=jnp.int32),
-            wide=jnp.asarray(np.concatenate(wides)),
+            wide=jnp.asarray(wide_all),
+            tt_top=tt_top, tt_slabs=tt_slabs, tt_vid=tt_vid,
             # raw per-tri columns stay off-device (see build()); instanced
             # scenes never take the column-based refit path (transform
             # updates rewrite InstanceTable rows, topology changes rebuild)
@@ -689,7 +706,9 @@ class DynamicScene:
             node_id=np.asarray(inode, np.int32),
             lo=np.stack(los).astype(np.float32),
             hi=np.stack(his).astype(np.float32),
-            inv_scale=np.asarray(inv_scales, np.float32))
+            inv_scale=np.asarray(inv_scales, np.float32),
+            root_top=(np.asarray([root_top_of[r] for r in roots], np.int32)
+                      if root_top_of is not None else None))
         self._add_tlas(self._inst_host)
         inst = schema.InstanceTable(
             **{k: jnp.asarray(v) if v is not None else None

@@ -108,6 +108,11 @@ class InstanceTable(NamedTuple):
     # TLAS), rebuilt 8-wide for the VPU.
     tlas: "Array | None" = None
     tlas_order: "Array | None" = None   # (I,) i32 leaf-contiguous instance ids
+    # HBM-scale BLAS forests: per-instance TOP-LOCAL root row in the treelet
+    # top table (treelet.TreeletTable.root_top[root part]); None when the
+    # shared table fits the VMEM kernel. Lets each BLAS visit run on the
+    # two-phase treelet kernel with a per-lane start row.
+    root_top: "Array | None" = None
 
 
 class GeometryTable(NamedTuple):

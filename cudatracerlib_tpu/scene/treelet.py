@@ -58,6 +58,11 @@ class TreeletTable(NamedTuple):
     # local row of its root inside that slab). Several sibling subtrees share
     # a slab (bin packing) but each visit traverses only its own subtree.
     vid_map: np.ndarray      # (n_vids, 2) i32
+    # multi-root forests (instanced scenes: one BLAS per shared mesh in the
+    # same table): root_top[i] = top-local row of partition's roots[i]. The
+    # traversal starts each lane at its instance's BLAS root (phase 1's
+    # per-lane attrs slot 11). None/len-1 for single-root tables.
+    root_top: "np.ndarray | None" = None
 
 
 def _links_of(row: np.ndarray) -> np.ndarray:
@@ -65,11 +70,16 @@ def _links_of(row: np.ndarray) -> np.ndarray:
 
 
 def partition(table: np.ndarray, treelet_rows: int = TREELET_ROWS,
-              max_top_rows: int = MAX_TOP_ROWS) -> "TreeletTable | None":
+              max_top_rows: int = MAX_TOP_ROWS,
+              roots: "tuple[int, ...]" = (0,)) -> "TreeletTable | None":
     """Partition a unified fat-row table into top + treelet slabs.
 
     Returns None when the table already fits the VMEM path (no treelets
     needed). Doubles treelet_rows until the top table fits max_top_rows.
+
+    `roots` names the root node rows of a FOREST (instanced scenes keep one
+    BLAS per shared mesh in the same table, disjoint row ranges); every root
+    stays a top node and the result's root_top maps roots[i] -> its top row.
     """
     R = table.shape[0]
     if R <= max_top_rows:
@@ -80,11 +90,11 @@ def partition(table: np.ndarray, treelet_rows: int = TREELET_ROWS,
     is_node = np.zeros(R, bool)
     child_rows = {}
     # a row is a node iff some link points at it as >=0; we detect node rows
-    # as those reachable via >=0 links from the root (row 0 is the root node)
-    # and leaf rows as those reachable via <=-2 links.
-    # subtree sizes via iterative post-order from row 0
+    # as those reachable via >=0 links from the forest roots and leaf rows as
+    # those reachable via <=-2 links.
+    # subtree sizes via iterative post-order from every root
     size = np.ones(R, np.int64)
-    state = [(0, False)]
+    state = [(int(r), False) for r in roots]
     order = []
     seen_node = np.zeros(R, bool)
     while state:
@@ -117,7 +127,7 @@ def partition(table: np.ndarray, treelet_rows: int = TREELET_ROWS,
         # cut candidates: (subtree root row, rows, parent AABB of the subtree)
         cut_cands: list[tuple] = []
         top_nodes: list[int] = []
-        stack = [0]
+        stack = [int(r) for r in roots]
         while stack:
             row = stack.pop()
             top_nodes.append(row)
@@ -224,8 +234,10 @@ def partition(table: np.ndarray, treelet_rows: int = TREELET_ROWS,
 
     vid_map = np.stack([np.asarray(vid_tid, np.int32),
                         np.asarray(vid_root, np.int32)], axis=1)
+    root_top = np.asarray([node_local[int(r)] for r in roots], np.int32)
     return TreeletTable(top=top, slabs=slabs, n_treelets=n_treelets,
-                        treelet_rows=treelet_rows, vid_map=vid_map)
+                        treelet_rows=treelet_rows, vid_map=vid_map,
+                        root_top=root_top)
 
 
 def partition_cached(table: np.ndarray, **kw) -> "TreeletTable | None":
@@ -237,20 +249,25 @@ def partition_cached(table: np.ndarray, **kw) -> "TreeletTable | None":
     R = table.shape[0]
     if R <= kw.get("max_top_rows", MAX_TOP_ROWS):
         return None
-    h = hashlib.sha1(table[:: max(1, R // 997)].tobytes()).hexdigest()[:16]
+    roots = tuple(int(r) for r in kw.get("roots", (0,)))
+    hsh = hashlib.sha1(table[:: max(1, R // 997)].tobytes())
+    hsh.update(np.asarray(roots, np.int64).tobytes())
+    h = hsh.hexdigest()[:16]
     cache_dir = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
     os.makedirs(cache_dir, exist_ok=True)
     fn = os.path.join(cache_dir, f"treelet_{R}_{h}.npz")
     if os.path.exists(fn):
         z = np.load(fn)
-        return TreeletTable(top=z["top"], slabs=z["slabs"],
-                            n_treelets=int(z["n_treelets"]),
-                            treelet_rows=int(z["treelet_rows"]),
-                            vid_map=z["vid_map"])
+        if "root_top" in z:
+            return TreeletTable(top=z["top"], slabs=z["slabs"],
+                                n_treelets=int(z["n_treelets"]),
+                                treelet_rows=int(z["treelet_rows"]),
+                                vid_map=z["vid_map"], root_top=z["root_top"])
+        # stale pre-root_top cache entry: rebuild below
     part = partition(table, **kw)
     np.savez(fn, top=part.top, slabs=part.slabs,
              n_treelets=part.n_treelets, treelet_rows=part.treelet_rows,
-             vid_map=part.vid_map)
+             vid_map=part.vid_map, root_top=part.root_top)
     return part
 
 

@@ -1,8 +1,23 @@
 """Ablation profile of one PT chunk on TPU: where does the pass time go?
 
+Usage: python tools/profile_pt.py [cornell|veach|sanmiguel]
+
+Stage decomposition (VERDICT r3 #3 asked specifically for veach-mis):
+  full          the production chunk
+  no_nee        NEE (light sampling + shadow traversal + MIS) removed
+  diffuse_only  BSDF dispatch restricted to the diffuse closed form — the
+                delta vs `full` is the masked multi-type BSDF evaluation cost
+                (veach adds roughconductor: microfacet eval + VNDF sampling)
+  no_traversal  closest-hit + shadow traversal stubbed to instant miss
+  traversal     12x bare traversal on camera rays (6 closest + 6 any-hit)
+  raygen+film   camera ray generation + film scatter-add only
+
 Timing ends at a real device->host readback (the axon tunnel's
 block_until_ready does not wait for execution — see bench.py docstring).
 """
+import json
+import statistics
+import sys
 import time
 from functools import partial
 from unittest import mock
@@ -11,9 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ctl_bench")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cudatracerlib_tpu.models import bsdf as bsdfmod
 from cudatracerlib_tpu.models import film as filmmod
 from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.ops import traversal, traversal8
+from cudatracerlib_tpu.scene import schema
 from cudatracerlib_tpu.utils import example_scenes
 
 
@@ -27,33 +48,48 @@ def timeit(fn, *args, n=6, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
     _drain(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = fn(*args)
-    _drain(out)
-    return (time.perf_counter() - t0) / n
+        _drain(out)
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "cornell"
     w = h = 512
     chunk = 1 << 16
-    scene = example_scenes.cornell_box(w, h).build()
+    if name == "cornell":
+        scene = example_scenes.cornell_box(w, h).build()
+    elif name == "veach":
+        scene = example_scenes.veach_mis(w, h).build()
+    elif name == "sanmiguel":
+        w = h = 1024
+        scene = example_scenes.san_miguel_stand_in(w, h).build()
+    else:
+        raise SystemExit(f"unknown scene {name}")
     at = pathmod.scene_active_types(scene)
+    print(f"scene={name} tris={scene.num_tris} active_types={at}", flush=True)
     film = filmmod.new_film(w, h)
     z = jnp.float32(0.0)
+    args = (scene, film, z, z, z, z, jnp.int32(0), jnp.int32(0))
+    out = {"scene": name, "chunk": chunk}
 
     def make(**over):
         fn = partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk, max_depth=6,
                      rr_depth=3, use_nee=over.pop("use_nee", True), spp=1,
-                     active_types=at, **over)
+                     active_types=over.pop("active_types", at), **over)
         return jax.jit(fn)
 
-    full = make()
-    args = (scene, film, z, z, z, z, jnp.int32(0), jnp.int32(0))
-    print(f"full chunk:      {timeit(full, *args)*1e3:8.2f} ms")
+    def rec(label, t):
+        out[label] = round(t * 1e3, 2)
+        print(f"{label:15s} {t*1e3:8.2f} ms", flush=True)
 
-    no_nee = make(use_nee=False)
-    print(f"no NEE:          {timeit(no_nee, *args)*1e3:8.2f} ms")
+    rec("full", timeit(make(), *args))
+    rec("no_nee", timeit(make(use_nee=False), *args))
+    rec("diffuse_only", timeit(make(active_types=(schema.BSDF_DIFFUSE,)), *args))
 
     # stub out traversal entirely: everything misses
     def fake_intersect(geom, rays, any_hit=False, with_iters=False, roots=None,
@@ -65,10 +101,7 @@ def main():
             return hit, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)
         return hit
     with mock.patch.object(traversal8, "intersect_scene", fake_intersect):
-        no_trace = jax.jit(partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk,
-                                   max_depth=6, rr_depth=3, use_nee=True, spp=1,
-                                   active_types=at))
-        print(f"no traversal:    {timeit(no_trace, *args)*1e3:8.2f} ms")
+        rec("no_traversal", timeit(make(), *args))
 
     # traversal alone: camera rays then 6x(closest+shadow-ish) on same rays
     from cudatracerlib_tpu.models import tracer as tracermod
@@ -86,17 +119,17 @@ def main():
             rays = traversal.Rays(o=rays.o + 0.01 * i, d=rays.d,
                                   tmin=rays.tmin, tmax=rays.tmax)
         return acc
-    tfn = jax.jit(trav_only)
     targs = (scene, film, jnp.int32(0), jnp.int32(0))
-    print(f"12x traversal:   {timeit(tfn, *targs)*1e3:8.2f} ms")
+    rec("traversal_12x", timeit(jax.jit(trav_only), *targs))
 
     def raygen_only(scene, film, pass_idx, chunk_idx):
         pixel_idx = (chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
         rays, px, py, state, wt = tracermod.gen_camera_rays(
             scene, pixel_idx, pass_idx, pass_idx, w, h)
         return filmmod.add_samples(film, px, py, jnp.stack([rays.d[:, 0]]*3, -1))
-    rfn = jax.jit(raygen_only)
-    print(f"raygen+film:     {timeit(rfn, *targs)*1e3:8.2f} ms")
+    rec("raygen_film", timeit(jax.jit(raygen_only), *targs))
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
