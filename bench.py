@@ -364,6 +364,77 @@ def bench_traversal_kernels():
     }
 
 
+def bench_instanced():
+    """Instanced A/B (VERDICT r3 #5): two-level TLAS/BLAS traversal over a
+    shared HBM-scale BLAS (treelet path, per-lane roots) vs the flattened
+    single-table build of the SAME scene, 131k camera rays. Also reports the
+    memory sharing (wide-table rows instanced vs flattened)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cudatracerlib_tpu.models import tracer as tracermod
+    from cudatracerlib_tpu.ops import traversal8
+    from cudatracerlib_tpu.scene import host, schema, sensors, shapes
+    from cudatracerlib_tpu.utils import transforms as tf
+
+    sc = host.DynamicScene()
+    white = sc.add_material(host.MaterialSpec(reflectance=(0.7, 0.7, 0.7)))
+    red = sc.add_material(host.MaterialSpec(reflectance=(0.6, 0.1, 0.1)))
+    floor = sc.add_material(host.MaterialSpec(reflectance=(0.4, 0.4, 0.4)))
+    sc.create_node(shapes.rectangle(), floor,
+                   tf.compose(tf.translate([0, -1, 0]),
+                              tf.rotate_deg([1, 0, 0], -90), tf.scale(30.0)))
+    # ONE ~33k-tri mesh shared by a 4x4 grid: the shared BLAS exceeds the
+    # VMEM kernel budget, so instanced traversal exercises the multi-root
+    # treelet path; flattened it is a ~0.5M-tri single table
+    ball = shapes.sphere(radius=0.6, n_theta=128, n_phi=130)
+    for i in range(4):
+        for j in range(4):
+            sc.create_node(ball, red if (i + j) % 2 else white,
+                           tf.translate([-3.0 + 2.0 * i, -0.4,
+                                         -3.0 + 2.0 * j]),
+                           name=f"ball{i}_{j}")
+    sc.set_sensor(sensors.make_sensor(
+        schema.SENSOR_PERSPECTIVE, tf.look_at([0, 4.0, -9.0], [0, -0.5, 0]),
+        fov_x_deg=50.0, film_w=512, film_h=512))
+    flat = sc.build(instancing="off")
+    inst = sc.build(instancing="auto")
+    B = 1 << 17
+    pix = jnp.arange(B, dtype=jnp.int32) % (512 * 512)
+    rays, _, _, _, _ = tracermod.gen_camera_rays(inst, pix, 0, 0, 512, 512)
+
+    def run(geom):
+        fn = jax.jit(lambda r: traversal8.intersect_scene(geom, r))
+        hit = fn(rays)
+        _drain(hit.t)
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            hit = fn(rays)
+            _drain(hit.t)
+            ts.append(time.perf_counter() - t0)
+        dt, spread = _spread(ts)
+        return dict(Mrays_s=round(B / dt / 1e6, 3), seconds=round(dt, 4),
+                    spread_rel=spread, hits=int(jnp.sum(hit.valid)))
+
+    res_i = run(inst.geom)
+    res_f = run(flat.geom)
+    return {
+        "metric": "instanced A/B (16x shared 33k-tri BLAS, 131k camera rays)",
+        "value": res_i["Mrays_s"],
+        "unit": "Mrays/s (two-level TLAS/BLAS)",
+        "vs_baseline": round(res_i["Mrays_s"] / BASELINE_MRAYS, 4),
+        "timing": "time-to-readback",
+        "instanced": res_i,
+        "flattened": res_f,
+        "instanced_over_flattened_x": round(
+            res_f["seconds"] / res_i["seconds"], 3),
+        "wide_rows_instanced": int(inst.geom.wide.shape[0]),
+        "wide_rows_flattened": int(flat.geom.wide.shape[0]),
+        "blas_on_treelet_path": bool(inst.geom.inst.root_top is not None),
+    }
+
+
 def bench_cornell_headline():
     """Headline: PT Cornell 512x512 depth 6 — round-over-round comparable."""
     from cudatracerlib_tpu.utils import example_scenes
@@ -380,6 +451,7 @@ CONFIGS = {
     "bdpt": bench_bdpt,
     "ppm": bench_ppm,
     "traversal": bench_traversal_kernels,
+    "instanced": bench_instanced,
     "headline": bench_cornell_headline,
 }
 
@@ -387,7 +459,7 @@ CONFIGS = {
 # deadline gate; a config only launches if this much budget remains
 EST_SECONDS = {
     "prim": 180, "veach_mis": 240, "san_miguel": 420, "bdpt": 300,
-    "ppm": 300, "headline": 200, "traversal": 420,
+    "ppm": 300, "headline": 200, "traversal": 420, "instanced": 360,
 }
 
 
@@ -443,7 +515,7 @@ def main():
     results = []
     head = None
     for name in ("prim", "veach_mis", "san_miguel", "bdpt", "ppm",
-                 "headline", "traversal"):
+                 "headline", "traversal", "instanced"):
         remaining = deadline - time.time()
         if remaining < EST_SECONDS[name] * 0.5:
             r = {"metric": name, "value": None, "unit": "skipped",

@@ -32,6 +32,19 @@ from . import tracer
 
 Array = jax.Array
 
+# Merge each bounce's NEE shadow rays into the NEXT bounce's closest-hit
+# traversal as ONE mixed wavefront (per-lane any-hit, ops/traversal8
+# any_mask) — the reference's deferred shadow-ray queue
+# (`WavefrontPathTracer.cu:62-73,118-134`: shadow rays enqueue and resolve
+# next iteration). Halves the traversal calls per bounce; on TPU the per-call
+# fixed costs (lockstep-loop dispatch, treelet sort/glue) dominate at
+# wavefront sizes, so call count is the lever (profiled round 4:
+# traversal = 82% of a san-miguel chunk). Estimator-identical: occlusion is
+# a pure function of the ray, only WHEN it is tested moves. Env-overridable
+# for A/B.
+import os as _os
+MERGE_SHADOW = _os.environ.get("CTL_PT_MERGE_SHADOW", "1") == "1"
+
 
 def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 max_depth: int = 8, rr_depth: int = 3, use_nee: bool = True,
@@ -91,18 +104,45 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     # The dimension index is traced (computed from the loop counter), which
     # samplers.sample_1d_dyn supports.
     use_seq = sampler_type != 0 and pixel_idx is not None
+    # merged bounce+shadow wavefront (see MERGE_SHADOW above). Media need
+    # the occlusion result in-iteration (transmittance sampling order), and
+    # the instanced dispatch has no per-lane any-hit yet.
+    merge = (MERGE_SHADOW and use_nee and not with_media and not with_bssrdf
+             and geom.inst is None)
 
     def bounce(depth, carry, coherent=False):
-        (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-         nrays, niters, nrows, novf, ins_med, ins_mat, mono_done) = carry
+        if merge:
+            (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
+             nrays, niters, nrows, novf, ins_med, ins_mat, mono_done,
+             p_contrib, p_rays, p_act) = carry
+        else:
+            (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
+             nrays, niters, nrows, novf, ins_med, ins_mat, mono_done) = carry
         trace_rays = traversal.Rays(o=cur.o, d=cur.d, tmin=cur.tmin,
                                     tmax=jnp.where(active, cur.tmax, 0.0))
         # live-ray counter (reference g_RayTracedCounter semantics: count only
         # rays actually traced, not launched lanes)
         nrays = nrays + jnp.sum(active.astype(jnp.float32))
-        hit, it1, rw1, ov1 = traversal8.intersect_scene(geom, trace_rays,
-                                                        with_iters=True,
-                                                        coherent=coherent)
+        if merge:
+            # ONE mixed wavefront: this bounce's closest rays + last bounce's
+            # pending NEE shadow rays (per-lane any-hit)
+            comb = traversal.Rays(
+                o=jnp.concatenate([trace_rays.o, p_rays.o]),
+                d=jnp.concatenate([trace_rays.d, p_rays.d]),
+                tmin=jnp.concatenate([trace_rays.tmin, p_rays.tmin]),
+                tmax=jnp.concatenate([trace_rays.tmax, p_rays.tmax]))
+            amask = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
+            h2, it1, rw1, ov1 = traversal8.intersect_scene(
+                geom, comb, with_iters=True, coherent=coherent,
+                any_mask=amask)
+            hit = traversal.Hit(t=h2.t[:B], tri=h2.tri[:B],
+                                u=h2.u[:B], v=h2.v[:B])
+            occluded_prev = h2.tri[B:] >= 0
+            L = L + jnp.where((p_act & ~occluded_prev)[:, None],
+                              p_contrib, 0.0)
+        else:
+            hit, it1, rw1, ov1 = traversal8.intersect_scene(
+                geom, trace_rays, with_iters=True, coherent=coherent)
         niters = niters + it1
         nrows = nrows + rw1
         novf = novf + ov1
@@ -247,21 +287,30 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 o=shadow_o, d=ed.d, tmin=jnp.zeros(B),
                 tmax=jnp.where(do_shadow, ed.dist * 0.999, 0.0))
             nrays = nrays + jnp.sum(do_shadow.astype(jnp.float32))
-            occ_hit, it2, rw2, ov2 = traversal8.intersect_scene(
-                geom, shadow, any_hit=True, with_iters=True)
-            occluded = occ_hit.valid
-            niters = niters + it2
-            nrows = nrows + rw2
-            novf = novf + ov2
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
             contrib = (beta * up(f_nee * ed.radiance_over_pdf)
                        * w_nee[:, None])
-            if with_media:
-                Tr, state = mediummod.transmittance(scene.media, shadow_o, ed.d,
-                                                    ed.dist * 0.999, state,
-                                                    do_shadow & ~occluded)
-                contrib = contrib * up(Tr)
-            L = L + jnp.where((nee_active & ~occluded)[:, None], contrib, 0.0)
+            if merge:
+                # occlusion resolves in the NEXT bounce's merged traversal
+                # (reference: WavefrontPathTracer.cu:118-134 resolves the
+                # previous iteration's shadow queue)
+                p_contrib = jnp.where(do_shadow[:, None], contrib, 0.0)
+                p_rays = shadow
+                p_act = nee_active
+            else:
+                occ_hit, it2, rw2, ov2 = traversal8.intersect_scene(
+                    geom, shadow, any_hit=True, with_iters=True)
+                occluded = occ_hit.valid
+                niters = niters + it2
+                nrows = nrows + rw2
+                novf = novf + ov2
+                if with_media:
+                    Tr, state = mediummod.transmittance(
+                        scene.media, shadow_o, ed.d, ed.dist * 0.999, state,
+                        do_shadow & ~occluded)
+                    contrib = contrib * up(Tr)
+                L = L + jnp.where((nee_active & ~occluded)[:, None],
+                                  contrib, 0.0)
 
         # --- continue the path: BSDF sample (surface) / phase sample (medium) ---
         if use_seq:
@@ -352,14 +401,24 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         had_smooth2 = had_smooth | (cont & ~is_delta)
         nxt = traversal.Rays(o=new_o, d=wo_world,
                              tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
-        return (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
-                next_pdf, is_delta, nxt, state, had_smooth2, nrays,
-                niters, nrows, novf, ins_med, ins_mat, mono_done)
+        out = (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
+               next_pdf, is_delta, nxt, state, had_smooth2, nrays,
+               niters, nrows, novf, ins_med, ins_mat, mono_done)
+        if merge:
+            out = out + (p_contrib, p_rays, p_act)
+        return out
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
              jnp.float32(0.0),
              jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
+    if merge:
+        # empty pending-shadow queue: dead rays (tmax=0) with a valid dir
+        dead = traversal.Rays(
+            o=jnp.zeros((B, 3)),
+            d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, 3)),
+            tmin=jnp.zeros(B), tmax=jnp.zeros(B))
+        carry = carry + (jnp.zeros((B, C or 3)), dead, jnp.zeros(B, bool))
     # depth-0 peel: camera rays are the one COHERENT wavefront of the path —
     # on HBM-scale scenes they take the treelet kernel with the smaller
     # coherent visit budget (V_COHERENT); bounces use V_INCOHERENT (or the
@@ -377,6 +436,16 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         carry = jax.lax.fori_loop(1, max_depth, bounce, carry)
     else:
         carry = jax.lax.fori_loop(0, max_depth, bounce, carry)
+    L = carry[0]
+    if merge:
+        # resolve the LAST bounce's pending shadow queue (no next merged
+        # traversal will carry it)
+        p_contrib, p_rays, p_act = carry[15], carry[16], carry[17]
+        occ_hit, itf, rwf, ovf_ = traversal8.intersect_scene(
+            geom, p_rays, any_hit=True, with_iters=True)
+        L = L + jnp.where((p_act & ~occ_hit.valid)[:, None], p_contrib, 0.0)
+        carry = (L,) + carry[1:9] + (carry[9] + itf, carry[10] + rwf,
+                                     carry[11] + ovf_) + carry[12:]
     L_out = carry[0]
     if C:
         span = (specmod.SPECTRUM_MAX_WAVELENGTH

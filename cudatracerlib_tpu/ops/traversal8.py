@@ -46,10 +46,16 @@ def _bitcast_i32(x: Array) -> Array:
 def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
                    stack_depth: int = STACK_DEPTH,
                    max_iters: int = MAX_ITERS, roots: Array = None,
-                   with_iters: bool = False):
+                   with_iters: bool = False, any_mask: Array = None):
+    """any_mask: optional (B,) bool giving PER-LANE any-hit semantics (lanes
+    True exit on their first leaf hit) — lets one call trace a mixed
+    closest+shadow wavefront (the merged bounce+NEE batch of models/path.py,
+    mirroring the reference's deferred shadow-ray queue,
+    `WavefrontPathTracer.cu:62-73`). Static any_hit must be False with it."""
     B = rays.o.shape[0]
     if roots is None:
         roots = jnp.zeros(B, jnp.int32)
+    assert not (any_hit and any_mask is not None)
     inv_d = _safe_inv(rays.d)
     ox, oy, oz = rays.o[:, 0], rays.o[:, 1], rays.o[:, 2]       # (B,)
     ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
@@ -130,6 +136,8 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
                         jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
         if any_hit:
             nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+        elif any_mask is not None:
+            nxt = jnp.where(leaf_hit & any_mask, jnp.int32(DONE), nxt)
 
         new_stack = [jnp.where(push, push_val, stack[0])]
         for k in range(1, stack_depth):
@@ -177,7 +185,8 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
                               stack_depth: int = STACK_DEPTH,
                               max_iters: int = MAX_ITERS,
                               roots: Array = None,
-                              with_iters: bool = False):
+                              with_iters: bool = False,
+                              any_mask: Array = None):
     """Persistent-lane wide traversal: each lane processes K rays in sequence.
 
     The lockstep while_loop's cost is set by the WORST lane; with one ray per
@@ -191,12 +200,14 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     N = rays.o.shape[0]
     assert N % K == 0, "ray count must divide rays_per_lane"
     B = N // K
+    assert not (any_hit and any_mask is not None)
     if roots is None:
         roots = jnp.zeros(N, jnp.int32)
     if K == 1:
         return intersect_wide(table, rays, any_hit=any_hit,
                               stack_depth=stack_depth, max_iters=max_iters,
-                              roots=roots, with_iters=with_iters)
+                              roots=roots, with_iters=with_iters,
+                              any_mask=any_mask)
     inv_all = _safe_inv(rays.d)
     # slot-major views: slot k of lane b is ray k*B + b
     oK = rays.o.reshape(K, B, 3)
@@ -205,6 +216,9 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     tminK = rays.tmin.reshape(K, B)
     tmaxK = rays.tmax.reshape(K, B)
     rootK = roots.reshape(K, B)
+    use_mask = any_mask is not None
+    anyK = (any_mask.reshape(K, B) if use_mask
+            else jnp.zeros((K, B), jnp.bool_))
     n_rows = table.shape[0]
     inf = jnp.float32(jnp.inf)
     bit8 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[:, None]
@@ -219,7 +233,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
 
     def body(state):
         (it, k_cur, cur, sp, stack, ox, oy, oz, ix, iy, iz, dx, dy, dz, tmn,
-         t_best, tri_best, u_best, v_best, outs) = state
+         t_best, tri_best, u_best, v_best, anyh, outs) = state
         is_node = cur >= 0
         is_leaf = cur <= -2
 
@@ -285,6 +299,8 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
                         jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
         if any_hit:
             nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+        elif use_mask:
+            nxt = jnp.where(leaf_hit & anyh, jnp.int32(DONE), nxt)
 
         new_stack = [jnp.where(push, push_val, stack[0])]
         for k in range(1, stack_depth):
@@ -332,11 +348,12 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
         tri_best = jnp.where(fetch, -1, tri_best)
         u_best = jnp.where(fetch, 0.0, u_best)
         v_best = jnp.where(fetch, 0.0, v_best)
+        anyh = jnp.where(fetch, sel_slot(k_next, anyK), anyh)
         cur = jnp.where(fetch, (root_new << 8) | 0xFF, cur)
         sp = jnp.where(fetch, 0, sp)
         return (it + 1, k_next, cur, sp, tuple(final_stack),
                 ox, oy, oz, ix, iy, iz, dx, dy, dz, tmn,
-                t_best, tri_best, u_best, v_best,
+                t_best, tri_best, u_best, v_best, anyh,
                 (tuple(new_out_t), tuple(new_out_tri), tuple(new_out_u),
                  tuple(new_out_v)))
 
@@ -352,10 +369,11 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
             dK[0, :, 0], dK[0, :, 1], dK[0, :, 2],
             tminK[0], tmaxK[0],
             jnp.full(B, -1, jnp.int32), jnp.zeros(B), jnp.zeros(B),
+            anyK[0],
             (zeros_f, tuple(jnp.full(B, -1, jnp.int32) for _ in range(K)),
              zeros_f, tuple(jnp.zeros(B) for _ in range(K))))
     out = jax.lax.while_loop(cond, body, init)
-    out_t, out_tri, out_u, out_v = out[19]
+    out_t, out_tri, out_u, out_v = out[20]
     hit = Hit(t=jnp.stack(out_t).reshape(N),
               tri=jnp.stack(out_tri).reshape(N),
               u=jnp.stack(out_u).reshape(N),
@@ -384,13 +402,16 @@ FORCE_TREELET = False
 # dispatch INCOHERENT wavefronts (bounce/shadow rays) onto the treelet
 # kernel too; the reference's one intersector serves ALL rays
 # (`Kernel/TraceHelper.cu:379-427`) and the phase-2 visit sort restores
-# slab-DMA coherence regardless of ray order. Flag kept for A/B benching.
-TREELET_INCOHERENT = True
-V_COHERENT = 6          # camera wavefronts: few treelets per ray
-V_INCOHERENT = 10       # bounce/shadow rays touch more treelets before
-#                         the overflow fallback has to pick them up
-FB_MIN = 1024           # overflow-fallback batch: max(min(B, FB_MIN), B//FB_DIV)
-FB_DIV = 8
+# slab-DMA coherence regardless of ray order. Env-overridable for A/B
+# benching (tools/microbench_r4.py measured V>6 LOSING to the XLA loop on
+# real bounce rays: the sort/glue cost scales with B*V while its benefit
+# saturates — see docs/ROUND4_NOTES.md).
+import os as _os
+TREELET_INCOHERENT = _os.environ.get("CTL_TREELET_INCOHERENT", "1") == "1"
+V_COHERENT = int(_os.environ.get("CTL_V_COHERENT", "6"))
+V_INCOHERENT = int(_os.environ.get("CTL_V_INCOHERENT", "4"))
+#                       bounce/shadow rays: V=4 measured best (overflow ~8%
+#                       goes to the full-batch exact fallback)
 
 
 def treelet_would_dispatch(geom, coherent: bool = True,
@@ -408,7 +429,7 @@ def treelet_would_dispatch(geom, coherent: bool = True,
 
 def intersect_scene(geom, rays: Rays, any_hit: bool = False,
                     roots: Array = None, with_iters: bool = False,
-                    coherent: bool = False):
+                    coherent: bool = False, any_mask: Array = None):
     """Production intersector over a GeometryTable (wide fat-row path).
 
     Dispatch (static, at trace time):
@@ -435,6 +456,7 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
     from . import traversal_pl
     if geom.inst is not None:
         from . import instanced
+        assert any_mask is None, "per-lane any-hit: instanced path pending"
         return instanced.intersect_instanced(geom, rays, any_hit=any_hit,
                                              with_iters=with_iters)
     n_rows = geom.wide.shape[0]
@@ -443,22 +465,25 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
         table_t = traversal_pl.prep_table_jnp(geom.wide)
         res = traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
                                             roots=roots,
-                                            with_iters=with_iters)
+                                            with_iters=with_iters,
+                                            any_mask=any_mask)
         if with_iters:
             return res[0], res[1], res[2], jnp.float32(0.0)
         return res
     if treelet_would_dispatch(geom, coherent=coherent, roots=roots):
         return intersect_treelet_exact(geom, rays, any_hit=any_hit,
                                        coherent=coherent,
-                                       with_iters=with_iters)
+                                       with_iters=with_iters,
+                                       any_mask=any_mask)
     K = DEFAULT_RAYS_PER_LANE
     if rays.o.shape[0] % K == 0 and rays.o.shape[0] >= 4 * K:
         res = intersect_wide_persistent(geom.wide, rays, rays_per_lane=K,
                                         any_hit=any_hit, roots=roots,
-                                        with_iters=with_iters)
+                                        with_iters=with_iters,
+                                        any_mask=any_mask)
     else:
         res = intersect_wide(geom.wide, rays, any_hit=any_hit, roots=roots,
-                             with_iters=with_iters)
+                             with_iters=with_iters, any_mask=any_mask)
     if with_iters:
         return res[0], res[1], res[2], jnp.float32(0.0)
     return res
@@ -466,66 +491,54 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
 
 def intersect_treelet_exact(geom, rays: Rays, any_hit: bool = False,
                             coherent: bool = False, with_iters: bool = False,
-                            roots: Array = None, roots_top: Array = None):
+                            roots: Array = None, roots_top: Array = None,
+                            any_mask: Array = None):
     """Treelet two-phase traversal + the COUNTED exactness fallback.
 
     Shared by the non-instanced dispatch above and the instanced BLAS path
     (ops/instanced.py): with per-lane `roots_top` (top-local start rows,
     treelet.TreeletTable.root_top) each lane traverses its own BLAS subtree
     of the forest-partitioned table; `roots` carries the matching GLOBAL
-    wide-table rows for the overflow fallback's re-traversal."""
+    wide-table rows for the overflow fallback's re-traversal. The fallback
+    always re-traverses CLOSEST-hit (exact; a valid closest hit answers an
+    any-hit lane's query too), so any_mask needs no fallback plumbing."""
     from . import traversal_tt
     res = traversal_tt.intersect_treelet(
         geom.tt_top, geom.tt_slabs, geom.tt_vid, rays, any_hit=any_hit,
         V=V_COHERENT if coherent else V_INCOHERENT,
-        with_overflow=True, with_iters=with_iters, roots=roots_top)
+        with_overflow=True, with_iters=with_iters, roots=roots_top,
+        any_mask=any_mask)
     hit, ovf = res[0], res[1]
-    # EXACTNESS: rays whose treelet-visit list overflowed the V budget
-    # may have missed their closest hit. COMPACT them (variadic sort
-    # puts overflow rays first), re-traverse only a fixed small batch on
-    # the XLA single-table loop pruned to the treelet t, and scatter the
-    # wins back. With zero overflow every batch lane is dead (tmax=0)
-    # and the lockstep loop exits after one iteration — the fallback
-    # then costs only its (small) gather glue. Rays past the M budget
-    # keep the treelet hit; that clipping is COUNTED (4th stats output)
-    # so callers/benches detect budget exhaustion instead of silently
-    # rendering with pruned hits.
+    # EXACTNESS: rays whose treelet-visit list overflowed the V budget may
+    # have missed their closest hit. Re-traverse the WHOLE batch on the XLA
+    # persistent-lane loop with tmax = treelet-t for overflow rays and 0 for
+    # everyone else: non-overflow lanes die in one lockstep step, overflow
+    # lanes re-traverse pruned by the treelet t, and the full-batch mask
+    # needs NO compaction glue (round 4 replaced the fixed-M compacted batch:
+    # dense san-miguel regions overflowed it by MILLIONS of rays per pass —
+    # the clip counter did its job — and the sort+gather+scatter glue cost
+    # about as much as the masked full-batch loop it was trying to avoid).
+    # Exactness no longer depends on any budget; `clipped` is 0 by
+    # construction and stays in the stats tuple for interface stability.
     B = rays.o.shape[0]
-    # bounce/shadow rays overflow far more than primaries, so the batch
-    # holds ~an eighth of the wavefront (constants are module-level so
-    # tests can construct adversarial clipping)
-    M = max(min(B, FB_MIN), B // FB_DIV)
-    iota = jnp.arange(B, dtype=jnp.int32)
-    _, rid = jax.lax.sort((1 - ovf.astype(jnp.int32), iota), num_keys=1)
-    # re-sorting the selected ids makes the write-back scatters eligible
-    # for the sorted+unique fast path (arbitrary-index scatters are
-    # near-serial on TPU — measured ~12ms for 4x16k here)
-    rid_m = jnp.sort(rid[:M])
-    is_ovf_m = jnp.take(ovf, rid_m)
-    fb_rays = Rays(o=jnp.take(rays.o, rid_m, axis=0),
-                   d=jnp.take(rays.d, rid_m, axis=0),
-                   tmin=jnp.take(rays.tmin, rid_m),
-                   tmax=jnp.where(is_ovf_m, jnp.take(hit.t, rid_m), 0.0))
-    fb_roots = None if roots is None else jnp.take(roots, rid_m)
+    fb_rays = Rays(o=rays.o, d=rays.d, tmin=rays.tmin,
+                   tmax=jnp.where(ovf, hit.t, 0.0))
     K = DEFAULT_RAYS_PER_LANE
-    if M % K == 0 and M >= 4 * K:
+    if B % K == 0 and B >= 4 * K:
         # persistent lanes amortize the lockstep worst-lane tail over
         # the (mostly dead) fallback batch
         fb = intersect_wide_persistent(geom.wide, fb_rays,
                                        rays_per_lane=K, any_hit=any_hit,
-                                       roots=fb_roots)
+                                       roots=roots, any_mask=any_mask)
     else:
         fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit,
-                            roots=fb_roots)
+                            roots=roots, any_mask=any_mask)
     # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
-    win = fb.valid & is_ovf_m
-    upd = lambda dst, src: dst.at[rid_m].set(
-        jnp.where(win, src, jnp.take(dst, rid_m)),
-        indices_are_sorted=True, unique_indices=True)
-    hit = Hit(t=upd(hit.t, fb.t), tri=upd(hit.tri, fb.tri),
-              u=upd(hit.u, fb.u), v=upd(hit.v, fb.v))
+    win = fb.valid & ovf
+    hit = Hit(t=jnp.where(win, fb.t, hit.t),
+              tri=jnp.where(win, fb.tri, hit.tri),
+              u=jnp.where(win, fb.u, hit.u),
+              v=jnp.where(win, fb.v, hit.v))
     if with_iters:
-        clipped = jnp.maximum(
-            jnp.sum(ovf.astype(jnp.float32)) - jnp.float32(M), 0.0)
-        return hit, res[2], res[3], clipped
+        return hit, res[2], res[3], jnp.float32(0.0)
     return hit

@@ -86,7 +86,11 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
     def tile_init(g):
         rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]   # (12,K,128)
         first = [rays_g[a, 0:1, :] for a in range(12)]
-        cur = (_i32(first[11]) << 8) | 0xFF                   # per-ray root row
+        # root row rides attrs[11]; a NEGATIVE (~root) encoding marks the
+        # lane as PER-LANE ANY-HIT (mixed closest+shadow wavefronts)
+        raw = _i32(first[11])
+        anyh = raw < 0
+        cur = (jnp.where(anyh, ~raw, raw) << 8) | 0xFF        # per-ray root row
         sp = jnp.zeros((1, LANES), jnp.int32)
         kcur = jnp.zeros((1, LANES), jnp.int32)
         stack = jnp.zeros((STACK_D, LANES), jnp.int32)
@@ -99,10 +103,10 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
                 jnp.zeros((K, LANES), jnp.float32),
                 jnp.zeros((K, LANES), jnp.float32))
         return (cur, sp, kcur, stack, tuple(first[:10]), t_best, tri, uu, vv,
-                outs)
+                anyh, outs)
 
     def tile_step(g, st):
-        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs) = st
+        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, anyh, outs) = st
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn = regs
         is_node = cur >= 0
         is_leaf = cur <= -2
@@ -176,6 +180,9 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
                         jnp.where(is_leaf, jnp.int32(POP), jnp.int32(DONE)))
         if any_hit:
             nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+        else:
+            # per-lane any-hit (sign-encoded roots, see tile_init)
+            nxt = jnp.where(leaf_hit & anyh, jnp.int32(DONE), nxt)
         pushed = pltpu.roll(stack, 1, 0)
         pushed = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (STACK_D, LANES), 0) == 0,
                            push_val, pushed)
@@ -210,9 +217,13 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         tri_b = jnp.where(fetch, -1, tri_b)
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
-        cur = jnp.where(fetch, (_i32(new[11]) << 8) | 0xFF, cur)
+        raw_n = _i32(new[11])
+        anyh = jnp.where(fetch, raw_n < 0, anyh)
+        cur = jnp.where(fetch,
+                        (jnp.where(raw_n < 0, ~raw_n, raw_n) << 8) | 0xFF,
+                        cur)
         sp = jnp.where(fetch, 0, sp)
-        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
+        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b, anyh,
                 (out_t, out_tri, out_u, out_v))
 
     def cond(state):
@@ -229,7 +240,7 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
     init = (jnp.int32(0), tuple(tile_init(g) for g in range(G)))
     it, tiles = jax.lax.while_loop(cond, body, init)
     for g in range(G):
-        out_t, out_tri, out_u, out_v = tiles[g][9]
+        out_t, out_tri, out_u, out_v = tiles[g][10]
         sl = slice(g * LANES, (g + 1) * LANES)
         out_ref[0, :, sl] = out_t
         out_ref[1, :, sl] = _f32(out_tri)
@@ -262,10 +273,12 @@ def prep_table_jnp(table: Array) -> Array:
 def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
                      K: int = DEFAULT_K, G: int = DEFAULT_G,
                      max_iters: int = 4096, roots: Array = None,
-                     with_iters: bool = False):
+                     with_iters: bool = False, any_mask: Array = None):
     """Traverse with the Pallas kernel. table_t must be prep_table() output.
 
     Rays are padded to a multiple of K*G*128; grid programs each own G tiles.
+    any_mask: optional (N,) bool — PER-LANE any-hit (sign-encoded into the
+    root attr) so one call serves a mixed closest+shadow wavefront.
     """
     n_rows = table_t.shape[1]
     n_slabs = n_rows // LANES
@@ -273,6 +286,9 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
     N = rays.o.shape[0]
     if roots is None:
         roots = jnp.zeros(N, jnp.int32)
+    assert not (any_hit and any_mask is not None)
+    if any_mask is not None:
+        roots = jnp.where(any_mask, ~roots, roots)
     block = K * G * LANES
     Np = -(-N // block) * block
     pad = Np - N

@@ -57,11 +57,13 @@ def _f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _step_core(rt, regs, cur, t_best, any_hit, virtual=None):
+def _step_core(rt, regs, cur, t_best, any_hit, virtual=None, anyh=None):
     """One state-machine step on a gathered (128, B) row block: node slab
     test + 12-wide Moller-Trumbore. Returns the step decision pieces.
     Shared by both kernels here (traversal_pl duplicates this inline).
-    regs = (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn)."""
+    regs = (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn).
+    anyh: optional (1, B) bool — PER-LANE any-hit early-out (mixed
+    closest+shadow wavefronts; static any_hit must be False with it)."""
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn = regs
     inf = jnp.float32(jnp.inf)
     bit8 = jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
@@ -126,6 +128,8 @@ def _step_core(rt, regs, cur, t_best, any_hit, virtual=None):
                     jnp.where(cur <= -2, jnp.int32(POP), jnp.int32(DONE)))
     if any_hit:
         nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
+    elif anyh is not None:
+        nxt = jnp.where(leaf_hit & anyh, jnp.int32(DONE), nxt)
     hit_vals = (t_hit,
                 jnp.sum(jnp.where(oh12, ids, 0), axis=0, keepdims=True),
                 jnp.sum(jnp.where(oh12, u, 0.0), axis=0, keepdims=True),
@@ -171,7 +175,10 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
     def tile_init(g):
         rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]
         first = [rays_g[a, 0:1, :] for a in range(12)]
-        cur = (_i32(first[11]) << 8) | 0xFF
+        # attrs[11] is the TOP-LOCAL root row; ~root marks per-lane any-hit
+        raw = _i32(first[11])
+        anyh = raw < 0
+        cur = (jnp.where(anyh, ~raw, raw) << 8) | 0xFF
         outs = (jnp.zeros((K, LANES), jnp.float32),
                 jnp.full((K, LANES), -1, jnp.int32),
                 jnp.zeros((K, LANES), jnp.float32),
@@ -185,16 +192,17 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
                 jnp.zeros((1, LANES), jnp.float32), outs,
                 jnp.full((K * V, LANES), -1, jnp.int32),   # visit tids
                 jnp.zeros((1, LANES), jnp.int32),          # vcount (cur ray)
-                jnp.zeros((K, LANES), jnp.int32))          # counts out
+                jnp.zeros((K, LANES), jnp.int32),          # counts out
+                anyh)
 
     def tile_step(g, st):
         (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs,
-         vbuf, vcount, vcounts) = st
+         vbuf, vcount, vcounts, anyh) = st
         row_idx = jnp.where(cur >= 0, cur >> 8, -2 - cur)
         virtual = (cur <= -2) & (row_idx >= n_top)
         rt = fetch_row(row_idx)
         leaf_hit, hv, nxt, push, push_val = _step_core(
-            rt, regs, cur, t_best, any_hit, virtual=virtual)
+            rt, regs, cur, t_best, any_hit, virtual=virtual, anyh=anyh)
         # record the visit BEFORE the pop: slot kcur*V + vcount
         oh_v = (iota_kv == kcur * V + jnp.minimum(vcount, V - 1)) & virtual \
             & (vcount < V)
@@ -229,10 +237,14 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
         vcount = jnp.where(fetch, 0, vcount)
-        cur = jnp.where(fetch, (_i32(new[11]) << 8) | 0xFF, cur)
+        raw_n = _i32(new[11])
+        anyh = jnp.where(fetch, raw_n < 0, anyh)
+        cur = jnp.where(fetch,
+                        (jnp.where(raw_n < 0, ~raw_n, raw_n) << 8) | 0xFF,
+                        cur)
         sp = jnp.where(fetch, 0, sp)
         return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
-                (out_t, out_tri, out_u, out_v), vbuf, vcount, vcounts)
+                (out_t, out_tri, out_u, out_v), vbuf, vcount, vcounts, anyh)
 
     def cond(state):
         it, tiles = state
@@ -284,21 +296,24 @@ def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
                 jnp.full((K, LANES), -1, jnp.int32),
                 jnp.zeros((K, LANES), jnp.float32),
                 jnp.zeros((K, LANES), jnp.float32))
-        return ((_i32(first[11]) << 8) | 0xFF,   # per-visit subtree root
+        raw = _i32(first[11])          # ~root marks per-lane any-hit visits
+        anyh = raw < 0
+        return ((jnp.where(anyh, ~raw, raw) << 8) | 0xFF,  # per-visit root
                 jnp.zeros((1, LANES), jnp.int32),
                 jnp.zeros((1, LANES), jnp.int32),
                 jnp.zeros((STACK_D, LANES), jnp.int32),
                 tuple(first[:10]), first[10],
                 jnp.full((1, LANES), -1, jnp.int32),
                 jnp.zeros((1, LANES), jnp.float32),
-                jnp.zeros((1, LANES), jnp.float32), outs)
+                jnp.zeros((1, LANES), jnp.float32), anyh, outs)
 
     def tile_step(g, st):
-        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs) = st
+        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, anyh,
+         outs) = st
         row_idx = jnp.where(cur >= 0, cur >> 8, -2 - cur)
         rt = fetch_row(row_idx)
         leaf_hit, hv, nxt, push, push_val = _step_core(
-            rt, regs, cur, t_best, any_hit)
+            rt, regs, cur, t_best, any_hit, anyh=anyh)
         t_hit, id_hit, u_hit, v_hit = hv
         t_best = jnp.where(leaf_hit, t_hit, t_best)
         tri_b = jnp.where(leaf_hit, id_hit, tri_b)
@@ -324,9 +339,13 @@ def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
         tri_b = jnp.where(fetch, -1, tri_b)
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
-        cur = jnp.where(fetch, (_i32(new[11]) << 8) | 0xFF, cur)
+        raw_n = _i32(new[11])
+        anyh = jnp.where(fetch, raw_n < 0, anyh)
+        cur = jnp.where(fetch,
+                        (jnp.where(raw_n < 0, ~raw_n, raw_n) << 8) | 0xFF,
+                        cur)
         sp = jnp.where(fetch, 0, sp)
-        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
+        return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b, anyh,
                 (out_t, out_tri, out_u, out_v))
 
     def cond(state):
@@ -343,7 +362,7 @@ def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
     init = (jnp.int32(0), tuple(tile_init(g) for g in range(G)))
     it, tiles = jax.lax.while_loop(cond, body, init)
     for g in range(G):
-        out_t, out_tri, out_u, out_v = tiles[g][9]
+        out_t, out_tri, out_u, out_v = tiles[g][10]
         sl = slice(g * LANES, (g + 1) * LANES)
         out_ref[0, :, sl] = out_t
         out_ref[1, :, sl] = _f32(out_tri)
@@ -376,7 +395,8 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                       G2: int = DEFAULT_G2, V: int = DEFAULT_V,
                       max_iters: int = 4096, with_iters: bool = False,
                       with_overflow: bool = False, _stage: int = 4,
-                      roots: "Array | None" = None):
+                      roots: "Array | None" = None,
+                      any_mask: "Array | None" = None):
     """Two-phase treelet traversal.
 
     top_t:   (128, S_top*128) transposed top table (traversal_pl.prep_table)
@@ -401,9 +421,11 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     interpret = jax.default_backend() == "cpu"
 
     # ---------------- phase 1: top traversal ----------------
-    attrs = _pack_attrs(rays.o, rays.d, rays.tmin, rays.tmax,
-                        jnp.zeros(N, jnp.int32) if roots is None else roots,
-                        Np)
+    assert not (any_hit and any_mask is not None)
+    r0 = jnp.zeros(N, jnp.int32) if roots is None else roots
+    if any_mask is not None:
+        r0 = jnp.where(any_mask, ~r0, r0)    # sign-encoded per-lane any-hit
+    attrs = _pack_attrs(rays.o, rays.d, rays.tmin, rays.tmax, r0, Np)
     B1 = Np // K
     attrs = attrs.reshape(12, K, B1)
     kern1 = partial(_top_kernel, n_slabs=n_slabs_top, n_top=n_top,
@@ -553,6 +575,9 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     t_prune = t0_[:N]
     if any_hit:
         t_prune = jnp.where(tri0[:N] >= 0, jnp.float32(-1.0), t_prune)
+    elif any_mask is not None:
+        t_prune = jnp.where(any_mask & (tri0[:N] >= 0), jnp.float32(-1.0),
+                            t_prune)
     src = jnp.concatenate([rays.o.T, rays.d.T,
                            inv(dpad[:, 0])[None], inv(dpad[:, 1])[None],
                            inv(dpad[:, 2])[None],
@@ -565,7 +590,13 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     # prune with the phase-1 result (t0_ <= tmax always)
     stmax = jnp.where(sray_b >= 0, g[10], -1.0)
-    attrs2 = jnp.concatenate([g[0:10], stmax[None], _f32(root_b)[None]],
+    root_enc = root_b
+    if any_mask is not None:
+        # phase-2 visits of any-hit rays early-out too (sign-encoded root)
+        any_pad = jnp.pad(any_mask, (0, Np - N)) if Np > N else any_mask
+        slot_any = jnp.take(any_pad, rix) & (sray_b >= 0)
+        root_enc = jnp.where(slot_any, ~root_b, root_b)
+    attrs2 = jnp.concatenate([g[0:10], stmax[None], _f32(root_enc)[None]],
                              axis=0)
     if _stage == 2:   # perf-debug: phase 1 + glue, skip the treelet kernel
         # tiny-epsilon sums keep the whole glue live against DCE
@@ -630,6 +661,8 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
             # an any-hit ray with SOME hit needs no fallback even if its
             # visit list overflowed: any hit answers the query
             ovf = ovf & ~(hit.tri >= 0)
+        elif any_mask is not None:
+            ovf = ovf & ~(any_mask & (hit.tri >= 0))
         out = out + (ovf,)
     if with_iters:
         iters = it1 + it2

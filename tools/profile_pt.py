@@ -16,11 +16,14 @@ Timing ends at a real device->host readback (the axon tunnel's
 block_until_ready does not wait for execution — see bench.py docstring).
 """
 import json
+import os
 import statistics
 import sys
 import time
 from functools import partial
 from unittest import mock
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
