@@ -89,8 +89,9 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         # root row rides attrs[11]; a NEGATIVE (~root) encoding marks the
         # lane as PER-LANE ANY-HIT (mixed closest+shadow wavefronts)
         raw = _i32(first[11])
-        anyh = raw < 0
-        cur = (jnp.where(anyh, ~raw, raw) << 8) | 0xFF        # per-ray root row
+        anyh = (raw < 0).astype(jnp.int32)   # i32 carry: Mosaic rejects
+        #                                      selects on i1 vectors
+        cur = (jnp.where(raw < 0, ~raw, raw) << 8) | 0xFF     # per-ray root row
         sp = jnp.zeros((1, LANES), jnp.int32)
         kcur = jnp.zeros((1, LANES), jnp.int32)
         stack = jnp.zeros((STACK_D, LANES), jnp.int32)
@@ -182,7 +183,7 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
             nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
         else:
             # per-lane any-hit (sign-encoded roots, see tile_init)
-            nxt = jnp.where(leaf_hit & anyh, jnp.int32(DONE), nxt)
+            nxt = jnp.where(leaf_hit & (anyh != 0), jnp.int32(DONE), nxt)
         pushed = pltpu.roll(stack, 1, 0)
         pushed = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (STACK_D, LANES), 0) == 0,
                            push_val, pushed)
@@ -218,7 +219,7 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
         raw_n = _i32(new[11])
-        anyh = jnp.where(fetch, raw_n < 0, anyh)
+        anyh = jnp.where(fetch, (raw_n < 0).astype(jnp.int32), anyh)
         cur = jnp.where(fetch,
                         (jnp.where(raw_n < 0, ~raw_n, raw_n) << 8) | 0xFF,
                         cur)

@@ -62,8 +62,9 @@ def _step_core(rt, regs, cur, t_best, any_hit, virtual=None, anyh=None):
     test + 12-wide Moller-Trumbore. Returns the step decision pieces.
     Shared by both kernels here (traversal_pl duplicates this inline).
     regs = (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn).
-    anyh: optional (1, B) bool — PER-LANE any-hit early-out (mixed
-    closest+shadow wavefronts; static any_hit must be False with it)."""
+    anyh: optional (1, B) int32 (0/1) — PER-LANE any-hit early-out (mixed
+    closest+shadow wavefronts; static any_hit must be False with it). Kept
+    int32 because Mosaic rejects selects on i1 vectors."""
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn = regs
     inf = jnp.float32(jnp.inf)
     bit8 = jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
@@ -129,7 +130,7 @@ def _step_core(rt, regs, cur, t_best, any_hit, virtual=None, anyh=None):
     if any_hit:
         nxt = jnp.where(leaf_hit, jnp.int32(DONE), nxt)
     elif anyh is not None:
-        nxt = jnp.where(leaf_hit & anyh, jnp.int32(DONE), nxt)
+        nxt = jnp.where(leaf_hit & (anyh != 0), jnp.int32(DONE), nxt)
     hit_vals = (t_hit,
                 jnp.sum(jnp.where(oh12, ids, 0), axis=0, keepdims=True),
                 jnp.sum(jnp.where(oh12, u, 0.0), axis=0, keepdims=True),
@@ -177,8 +178,9 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
         first = [rays_g[a, 0:1, :] for a in range(12)]
         # attrs[11] is the TOP-LOCAL root row; ~root marks per-lane any-hit
         raw = _i32(first[11])
-        anyh = raw < 0
-        cur = (jnp.where(anyh, ~raw, raw) << 8) | 0xFF
+        anyh = (raw < 0).astype(jnp.int32)   # i32 carry: Mosaic rejects
+        #                                      selects on i1 vectors
+        cur = (jnp.where(raw < 0, ~raw, raw) << 8) | 0xFF
         outs = (jnp.zeros((K, LANES), jnp.float32),
                 jnp.full((K, LANES), -1, jnp.int32),
                 jnp.zeros((K, LANES), jnp.float32),
@@ -238,7 +240,7 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
         v_b = jnp.where(fetch, 0.0, v_b)
         vcount = jnp.where(fetch, 0, vcount)
         raw_n = _i32(new[11])
-        anyh = jnp.where(fetch, raw_n < 0, anyh)
+        anyh = jnp.where(fetch, (raw_n < 0).astype(jnp.int32), anyh)
         cur = jnp.where(fetch,
                         (jnp.where(raw_n < 0, ~raw_n, raw_n) << 8) | 0xFF,
                         cur)
@@ -297,8 +299,8 @@ def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
                 jnp.zeros((K, LANES), jnp.float32),
                 jnp.zeros((K, LANES), jnp.float32))
         raw = _i32(first[11])          # ~root marks per-lane any-hit visits
-        anyh = raw < 0
-        return ((jnp.where(anyh, ~raw, raw) << 8) | 0xFF,  # per-visit root
+        anyh = (raw < 0).astype(jnp.int32)
+        return ((jnp.where(raw < 0, ~raw, raw) << 8) | 0xFF,  # per-visit root
                 jnp.zeros((1, LANES), jnp.int32),
                 jnp.zeros((1, LANES), jnp.int32),
                 jnp.zeros((STACK_D, LANES), jnp.int32),
@@ -340,7 +342,7 @@ def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
         raw_n = _i32(new[11])
-        anyh = jnp.where(fetch, raw_n < 0, anyh)
+        anyh = jnp.where(fetch, (raw_n < 0).astype(jnp.int32), anyh)
         cur = jnp.where(fetch,
                         (jnp.where(raw_n < 0, ~raw_n, raw_n) << 8) | 0xFF,
                         cur)
