@@ -143,10 +143,7 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
 
 def bench_prim():
     """Config 1: PrimTracer primary-hit AOVs on Cornell (shading normals)."""
-    import jax.numpy as jnp
     from cudatracerlib_tpu.models import prim as primmod
-    from cudatracerlib_tpu.models import tracer as tracermod
-    from cudatracerlib_tpu.ops import traversal8
     from cudatracerlib_tpu.utils import example_scenes
 
     w = h = 512
@@ -155,23 +152,23 @@ def bench_prim():
     tr.render_batched(1)
     _drain(tr.film.rgb)
     floor = _readback_floor(tr.film.rgb)
-    # one instrumented traversal of the same camera rays estimates the
-    # per-pass iteration/row counts (PrimTracer itself has no counter plumbing)
-    pix = jnp.arange(w * h, dtype=jnp.int32)
-    rays0, _, _, _, _ = tracermod.gen_camera_rays(scene, pix, 0, 0, w, h)
-    _, it1, rw1, _ = traversal8.intersect_scene(scene.geom, rays0,
-                                                with_iters=True)
-    it1, rw1 = float(it1), float(rw1)
     n_passes = 80            # window sized for floor < 5% (r3: 20 -> 0.24s)
-    times = []
+    times, iters_r, rows_r = [], [], []
     for _ in range(REPS):
+        i0, r0 = tr._iters_dev, tr._rows_dev
         t0 = time.perf_counter()
         tr.render_batched(n_passes)   # one fused dispatch per rep
         _drain(tr.film.rgb)
         times.append(time.perf_counter() - t0)
+        iters_r.append(float(tr._iters_dev - i0))
+        rows_r.append(float(tr._rows_dev - r0))
     dt, spread = _spread(times)
+    k = times.index(statistics.median_low(times))
+    # device-accumulated counters (round 4; r3 estimated them from one
+    # instrumented traversal x n_passes)
+    it_n, rw_n = iters_r[k], rows_r[k]
     mrays = w * h * n_passes / dt / 1e6  # exactly one primary ray per pixel
-    gbps = rw1 * n_passes * ROW_BYTES / dt / 1e9
+    gbps = rw_n * ROW_BYTES / dt / 1e9
     return {
         "metric": "prim-tracer AOV (Cornell 512x512, shading normals)",
         "value": round(mrays, 3),
@@ -184,14 +181,13 @@ def bench_prim():
         "readback_floor_s": round(floor, 4),
         "floor_over_window": round(floor / dt, 4),
         "live_rays": w * h * n_passes,
-        "loop_iters": int(it1 * n_passes),
-        "rows_gathered": int(rw1 * n_passes),
-        "bytes_gathered": int(rw1 * n_passes * ROW_BYTES),
+        "loop_iters": int(it_n),
+        "rows_gathered": int(rw_n),
+        "bytes_gathered": int(rw_n * ROW_BYTES),
         "gather_GBps": round(gbps, 2),
         "pct_of_HBM_peak": round(100.0 * gbps / HBM_PEAK_GBPS, 2),
         "vmem_resident_table": True,
-        "counters": "estimated: one instrumented traversal x n_passes "
-                    "(fixed camera, deterministic ray set)",
+        "counters": "device-accumulated in the fused pass loop",
         "image": _save_image(tr.film, "prim"),
     }
 
