@@ -96,7 +96,7 @@ def main():
 
     # stub out traversal entirely: everything misses
     def fake_intersect(geom, rays, any_hit=False, with_iters=False, roots=None,
-                       coherent=False):
+                       coherent=False, any_mask=None):
         B = rays.o.shape[0]
         hit = traversal.Hit(t=rays.tmax, tri=jnp.full(B, -1, jnp.int32),
                             u=jnp.zeros(B), v=jnp.zeros(B))
@@ -124,6 +124,39 @@ def main():
         return acc
     targs = (scene, film, jnp.int32(0), jnp.int32(0))
     rec("traversal_12x", timeit(jax.jit(trav_only), *targs))
+
+    # --- NEE decomposition (VERDICT r3 #3): which part of NEE costs? ---
+    from cudatracerlib_tpu.models import lights as lightsmod
+
+    def cheap_sed(scene, ref_p, state, u_override=None, override_mask=None):
+        # fixed overhead-free light record: constant direction, unit radiance
+        B = ref_p.shape[0]
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, 3))
+        rec = lightsmod.EmitterDirect(
+            p=ref_p + 10.0 * d, d=d, dist=jnp.full(B, 10.0),
+            n=-d, radiance_over_pdf=jnp.ones((B, 3)),
+            pdf=jnp.ones(B), is_delta=jnp.zeros(B, bool),
+            light_idx=jnp.zeros(B, jnp.int32))
+        return rec, state
+    with mock.patch.object(lightsmod, "sample_emitter_direct", cheap_sed):
+        rec("nee_cheap_light", timeit(make(), *args))
+
+    real_eval = bsdfmod.evaluate
+    def cheap_eval(ctx, wi, wo, active_types=None):
+        B = wi.shape[0]
+        return bsdfmod.Lobe(f=jnp.full((B, 3), 0.1), pdf=jnp.full(B, 0.5))
+    with mock.patch.object(bsdfmod, "evaluate", cheap_eval):
+        rec("nee_cheap_eval", timeit(make(), *args))
+
+    with mock.patch.object(pathmod, "MERGE_SHADOW", False):
+        rec("merge_off", timeit(make(), *args))
+
+    # chunk-size scaling: marginal compute per lane vs the fixed call floor
+    chunk2 = chunk * 2
+    fn2 = jax.jit(partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk2,
+                          max_depth=6, rr_depth=3, use_nee=True, spp=1,
+                          active_types=at))
+    rec("full_2x_chunk", timeit(fn2, *args))
 
     def raygen_only(scene, film, pass_idx, chunk_idx):
         pixel_idx = (chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
