@@ -76,6 +76,29 @@ def _ranged_cdf_search(cdf_flat: Array, first: Array, count: Array, u: Array,
     return jnp.clip(lo, first, first + count - 1)
 
 
+def _sample_area_tri(lights: schema.LightTable, first: Array, count: Array,
+                     u: Array) -> Array:
+    """O(1) area-weighted emitter-triangle draw (absolute al_tris index).
+
+    One alias fat-row gather replaces the ranged binary CDF search — on TPU
+    the search is log2(AT) SERIAL (B,)-gathers (measured ~5.5 ms per
+    65k-lane call on veach-mis's 2112-tri light set; the alias row is one).
+    The integer and fractional parts of u*count are independent uniforms
+    (u = (ofs + frac)/count), so slot choice and the alias coin reuse the
+    single draw and the PCG stream layout is unchanged. The per-triangle
+    selection pmf (area_i/total) cancels against uniform-barycentric 1/area_i,
+    so callers keep the 1/total_area position pdf and no pmf is gathered."""
+    if lights.al_alias is None:  # hand-built tables in tests
+        return _ranged_cdf_search(lights.al_cdf, first, count, u)
+    cnt = count.astype(jnp.float32)
+    scaled = jnp.minimum(u, 1.0 - 1e-7) * cnt
+    ofs = jnp.minimum(scaled.astype(jnp.int32), count - 1)
+    frac = scaled - ofs.astype(jnp.float32)
+    slot = first + ofs
+    row = jnp.take(lights.al_alias, slot, axis=0)
+    return jnp.where(frac < row[:, 0], slot, _bits_i32(row[:, 1]))
+
+
 def _select_light(lights: schema.LightTable, u: Array):
     if lights.power_cdf.shape[0] == 1:  # static single-light fast path
         return jnp.zeros(u.shape, jnp.int32), jnp.ones(u.shape)
@@ -236,7 +259,7 @@ def sample_emitter_direct(scene: schema.SceneData, ref_p: Array,
     first = _bits_i32(row[:, 1 + NP])
     count = jnp.maximum(_bits_i32(row[:, 2 + NP]), 1)
     state, u_tri = rngmod.next_float(state)
-    ai = _ranged_cdf_search(lights.al_cdf, first, count, u_tri)
+    ai = _sample_area_tri(lights, first, count, u_tri)
     trow = jnp.take(_al_tri_rows(scene), ai, axis=0)
     bary = warp.square_to_uniform_triangle(u2)
     pos_area = (trow[:, 0:3] + trow[:, 3:6] * bary[:, 0:1] + trow[:, 6:9] * bary[:, 1:2])
@@ -393,7 +416,7 @@ def sample_emitter_ray(scene: schema.SceneData, state: Array) -> tuple:
     first = _bits_i32(row[:, 1 + NP])
     count = jnp.maximum(_bits_i32(row[:, 2 + NP]), 1)
     state, u_tri = rngmod.next_float(state)
-    ai = _ranged_cdf_search(lights.al_cdf, first, count, u_tri)
+    ai = _sample_area_tri(lights, first, count, u_tri)
     trow = jnp.take(_al_tri_rows(scene), ai, axis=0)
     bary = warp.square_to_uniform_triangle(u_pos)
     o_ar = trow[:, 0:3] + trow[:, 3:6] * bary[:, 0:1] + trow[:, 6:9] * bary[:, 1:2]

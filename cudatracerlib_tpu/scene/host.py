@@ -919,9 +919,24 @@ class DynamicScene:
         if al_tris:
             al_tris_arr = np.concatenate(al_tris)
             al_cdf_arr = np.concatenate(al_cdf)
+            # per-light alias tables over tri area (absolute alias indices),
+            # flattened at the al_first offsets — O(1) selection at trace time
+            from . import alias as aliasmod
+            al_alias_arr = np.zeros((len(al_tris_arr), 2), np.float32)
+            ofs = 0
+            for ids in al_tris:
+                n = len(ids)
+                areas = 0.5 * np.linalg.norm(
+                    np.cross(v1[ids] - v0[ids], v2[ids] - v0[ids]), axis=-1)
+                t = aliasmod.build_alias_table(areas)
+                al_alias_arr[ofs:ofs + n, 0] = t[:, 0]
+                al_alias_arr[ofs:ofs + n, 1] = (
+                    t[:, 1].view(np.int32) + ofs).view(np.float32)
+                ofs += n
         else:
             al_tris_arr = np.zeros(1, np.int32)
             al_cdf_arr = np.ones(1, np.float32)
+            al_alias_arr = np.asarray([[1.0, 0.0]], np.float32)
         al_rows_arr = _pack_al_rows(v0, v1, v2, al_tris_arr)
         al_first_arr = np.zeros(L, np.int32)
         al_count_arr = np.zeros(L, np.int32)
@@ -954,6 +969,7 @@ class DynamicScene:
             power_cdf=jnp.asarray(cdf, jnp.float32),
             al_rows=jnp.asarray(al_rows_arr),
             al_tris=jnp.asarray(al_tris_arr), al_cdf=jnp.asarray(al_cdf_arr),
+            al_alias=jnp.asarray(al_alias_arr),
             al_first=jnp.asarray(al_first_arr), al_count=jnp.asarray(al_count_arr),
             env_map=jnp.asarray(env), env_alias=jnp.asarray(env_alias),
             env_pmf=jnp.asarray(env_pmf),
