@@ -396,9 +396,10 @@ def pack_unified(bvh8_nodes, bvh8_leaves):
 
 
 DEFAULT_RAYS_PER_LANE = 16
-# test hook: exercise the treelet dispatch branch on the CPU backend
-# (kernels fall back to interpret mode there)
+# test hooks: exercise the treelet / VMEM-Pallas dispatch branches on the
+# CPU backend (kernels fall back to interpret mode there)
 FORCE_TREELET = False
+FORCE_PALLAS = False
 # dispatch INCOHERENT wavefronts (bounce/shadow rays) onto the treelet
 # kernel too; the reference's one intersector serves ALL rays
 # (`Kernel/TraceHelper.cu:379-427`) and the phase-2 visit sort restores
@@ -412,6 +413,70 @@ V_COHERENT = int(_os.environ.get("CTL_V_COHERENT", "6"))
 V_INCOHERENT = int(_os.environ.get("CTL_V_INCOHERENT", "4"))
 #                       bounce/shadow rays: V=4 measured best (overflow ~8%
 #                       goes to the full-batch exact fallback)
+# bucket-sort incoherent wavefronts before the VMEM Pallas kernel: the
+# kernel's while_loop runs to the WORST lane of each G*128-lane program, so
+# grouping rays by direction octant + origin cell equalizes per-program work
+# (the round-4 looped profile measured bounce/shadow rays at ~4x the per-ray
+# cost of camera rays on veach). O(B) counting sort — NOT jnp.argsort, whose
+# bitonic network was measured at ~8 ms on 131k lanes. Default OFF until the
+# e2e A/B on real hardware lands (tunnel outage blocked the measurement);
+# flip via CTL_SORT_INCOHERENT=1.
+SORT_INCOHERENT = _os.environ.get("CTL_SORT_INCOHERENT", "0") == "1"
+
+
+def _bucket_perm(key: Array, n_buckets: int):
+    """Stable counting-sort permutation for small integer keys.
+
+    Returns (src, dest): `x[src]` is x in key-sorted order; `sorted_y[dest]`
+    restores original order. O(B * n_buckets) elementwise + cumsum — no
+    comparison sort.
+    """
+    B = key.shape[0]
+    onehot = (key[:, None] == jnp.arange(n_buckets, dtype=key.dtype)[None, :]
+              ).astype(jnp.int32)                       # (B, nb)
+    within = jnp.cumsum(onehot, axis=0) - onehot        # rank inside bucket
+    counts = within[-1] + onehot[-1]
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    dest = jnp.take(offs, key) + jnp.sum(within * onehot, axis=1)
+    src = jnp.zeros(B, jnp.int32).at[dest].set(jnp.arange(B, dtype=jnp.int32))
+    return src, dest
+
+
+def _ray_sort_key(rays: Rays, n_buckets: int = 65) -> Array:
+    """Coherence key: 3 direction-sign bits x 3 origin-half bits (halves of
+    the wavefront's own bbox — no scene bounds needed), dead lanes
+    (tmax <= tmin) in their own final bucket so they don't dilute live ones."""
+    o, d = rays.o, rays.d
+    oct_ = ((d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32))
+    mid = 0.5 * (jnp.min(o, axis=0) + jnp.max(o, axis=0))
+    cell = ((o[:, 0] > mid[0]).astype(jnp.int32)
+            + 2 * (o[:, 1] > mid[1]).astype(jnp.int32)
+            + 4 * (o[:, 2] > mid[2]).astype(jnp.int32))
+    key = oct_ * 8 + cell
+    return jnp.where(rays.tmax <= rays.tmin, n_buckets - 1, key)
+
+
+def _pallas_sorted(table_t, rays: Rays, any_hit: bool, roots, with_iters,
+                   any_mask):
+    """intersect_pallas behind a coherence-restoring permutation (exact: a
+    pure reorder of independent per-ray queries)."""
+    from . import traversal_pl
+    src, dest = _bucket_perm(_ray_sort_key(rays), 65)
+    rs = Rays(o=rays.o[src], d=rays.d[src], tmin=rays.tmin[src],
+              tmax=rays.tmax[src])
+    roots_s = None if roots is None else roots[src]
+    amask_s = None if any_mask is None else any_mask[src]
+    res = traversal_pl.intersect_pallas(table_t, rs, any_hit=any_hit,
+                                        roots=roots_s, with_iters=with_iters,
+                                        any_mask=amask_s)
+    hit = res[0] if with_iters else res
+    hit = Hit(t=hit.t[dest], tri=hit.tri[dest], u=hit.u[dest], v=hit.v[dest])
+    if with_iters:
+        return (hit,) + tuple(res[1:])
+    return hit
 
 
 def treelet_would_dispatch(geom, coherent: bool = True,
@@ -461,12 +526,17 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
                                              with_iters=with_iters)
     n_rows = geom.wide.shape[0]
     on_tpu = _jax.default_backend() not in ("cpu",)
-    if on_tpu and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES:
+    if ((on_tpu or FORCE_PALLAS)
+            and n_rows <= traversal_pl.MAX_SLABS * traversal_pl.LANES):
         table_t = traversal_pl.prep_table_jnp(geom.wide)
-        res = traversal_pl.intersect_pallas(table_t, rays, any_hit=any_hit,
-                                            roots=roots,
-                                            with_iters=with_iters,
-                                            any_mask=any_mask)
+        if SORT_INCOHERENT and not coherent:
+            res = _pallas_sorted(table_t, rays, any_hit, roots, with_iters,
+                                 any_mask)
+        else:
+            res = traversal_pl.intersect_pallas(table_t, rays,
+                                                any_hit=any_hit, roots=roots,
+                                                with_iters=with_iters,
+                                                any_mask=any_mask)
         if with_iters:
             return res[0], res[1], res[2], jnp.float32(0.0)
         return res

@@ -1,17 +1,43 @@
-"""Does sorting incoherent rays recover traversal throughput on the XLA
-gather loop? 131k random rays in the san-miguel stand-in AABB, traversed
-(a) shuffled, (b) sorted by direction octant + origin Morton cell, with the
-sort+permute cost included in (b). Timing ends at a real readback (see
-bench.py docstring).
+"""Does bucket-sorting incoherent rays speed up the VMEM Pallas kernel?
+
+The round-4 looped profile (tools/profile_pt.py veach) shows PT traversal at
+~2.2 ms per 131k-lane call on bounce/shadow wavefronts vs 0.28 ms per
+65k-lane call on camera rays — ~4x per-ray. The kernel's while_loop runs to
+the WORST lane of each 512-lane program (G=4 tiles x 128 lanes, K=8 rays
+serial per lane), so incoherent wavefronts pay (a) low lane utilization and
+(b) per-iteration gather/arith on lanes that already finished.
+
+Hypothesis: an O(B) counting sort by direction-octant (+ origin cell) groups
+similar rays into the same program, cutting worst-lane iterations. Keys are
+cheap; the permutation is 2 gathers (rays out, hits back).
+
+Measures, on veach (VMEM table) with REAL bounce rays (cosine-sampled from
+actual camera-ray hit points): unsorted / octant(8) / octant+origin(64),
+net-of-floor medians over fori_loop'd reps, plus the kernel's own lockstep
+iteration counters.
 """
+import os
+import statistics
+import sys
 import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cudatracerlib_tpu.ops import traversal, traversal8
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ctl_bench")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cudatracerlib_tpu.core import rng as rngmod
+from cudatracerlib_tpu.models import tracer as tracermod
+from cudatracerlib_tpu.ops import traversal, traversal8, traversal_pl
 from cudatracerlib_tpu.utils import example_scenes
+
+REPS = 10
 
 
 def _drain(out):
@@ -20,86 +46,112 @@ def _drain(out):
     return float(jnp.ravel(leaves[0])[0])
 
 
-def timeit(fn, *args, n=3, warmup=1):
+def timeit(fn, *args, n=6, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
     _drain(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = fn(*args)
-    _drain(out)
-    return (time.perf_counter() - t0) / n
+        _drain(out)
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
-def morton3(x, y, z):
-    """10-bit-per-axis Morton interleave (int32)."""
-    def part(v):
-        v = v & 0x3FF
-        v = (v | (v << 16)) & jnp.int32(0x30000FF)
-        v = (v | (v << 8)) & jnp.int32(0x300F00F)
-        v = (v | (v << 4)) & jnp.int32(0x30C30C3)
-        v = (v | (v << 2)) & jnp.int32(0x9249249)
-        return v
-    return part(x) | (part(y) << 1) | (part(z) << 2)
+def bucket_perm(key, n_buckets):
+    """Stable counting-sort permutation: src index for each dest slot."""
+    B = key.shape[0]
+    onehot = jax.nn.one_hot(key, n_buckets, dtype=jnp.int32)     # (B, nb)
+    within = jnp.cumsum(onehot, axis=0) - onehot                  # rank in bucket
+    counts = jnp.sum(onehot, axis=0)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    dest = offs[key] + jnp.sum(within * onehot, axis=1)
+    src_of_dest = jnp.zeros(B, jnp.int32).at[dest].set(
+        jnp.arange(B, dtype=jnp.int32))
+    return src_of_dest, dest
+
+
+def ray_key(scene, rays, bits_origin):
+    d = rays.d
+    k = ((d[:, 0] > 0).astype(jnp.int32)
+         + 2 * (d[:, 1] > 0).astype(jnp.int32)
+         + 4 * (d[:, 2] > 0).astype(jnp.int32))
+    if bits_origin:
+        lo, hi = scene.world_lo, scene.world_hi
+        cell = jnp.clip(((rays.o - lo) / (hi - lo) * 2).astype(jnp.int32), 0, 1)
+        k = k * 8 + cell[:, 0] * 4 + cell[:, 1] * 2 + cell[:, 2]
+    return k
 
 
 def main():
     B = 1 << 17
-    scene = example_scenes.san_miguel_stand_in(256, 256).build()
-    geom = scene.geom
-    lo = np.asarray(scene.world_lo)
-    hi = np.asarray(scene.world_hi)
-    rng = np.random.default_rng(0)
-    o = (lo + rng.random((B, 3)) * (hi - lo)).astype(np.float32)
-    d = rng.normal(size=(B, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    rays = traversal.Rays(o=jnp.asarray(o), d=jnp.asarray(d),
-                          tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
-
-    wlo = jnp.asarray(lo)
-    span = jnp.asarray((hi - lo).astype(np.float32))
+    scene = example_scenes.veach_mis(512, 512).build()
+    table_t = traversal_pl.prep_table_jnp(scene.geom.wide)
 
     @jax.jit
-    def trav(r):
-        h = traversal8.intersect_scene(geom, r)
-        return h.t.sum()
+    def make_bounce_rays(seed):
+        st = rngmod.seed(jnp.arange(B, dtype=jnp.int32), seed)
+        pix = jnp.arange(B, dtype=jnp.int32) % (512 * 512)
+        cam, px, py, st2, wt = tracermod.gen_camera_rays(scene, pix, 0, 0,
+                                                         512, 512)
+        hit = traversal8.intersect_scene(scene.geom, cam)
+        p = cam.o + cam.d * hit.t[:, None] * 0.999
+        st, u = rngmod.next_float3(st)
+        # cosine-ish random hemisphere dirs around +z then randomize sign
+        z = u[:, 2] * 2 - 1
+        r = jnp.sqrt(jnp.maximum(0.0, 1 - z * z))
+        phi = u[:, 0] * 2 * jnp.pi
+        d = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+        return traversal.Rays(o=p, d=d, tmin=jnp.full(B, 1e-3),
+                              tmax=jnp.full(B, 1e9))
 
-    @jax.jit
-    def trav_sorted(r):
-        cell = jnp.clip(((r.o - wlo) / span) * 32.0, 0, 31).astype(jnp.int32)
-        octant = ((r.d[:, 0] > 0).astype(jnp.int32)
-                  | ((r.d[:, 1] > 0).astype(jnp.int32) << 1)
-                  | ((r.d[:, 2] > 0).astype(jnp.int32) << 2))
-        key = (morton3(cell[:, 0], cell[:, 1], cell[:, 2]) << 3) | octant
-        idx = jnp.argsort(key).astype(jnp.int32)
-        rs = traversal.Rays(o=jnp.take(r.o, idx, axis=0),
-                            d=jnp.take(r.d, idx, axis=0),
-                            tmin=jnp.take(r.tmin, idx),
-                            tmax=jnp.take(r.tmax, idx))
-        h = traversal8.intersect_scene(geom, rs)
-        # scatter back (sorted+unique indices -> fast path)
-        t = jnp.zeros(B).at[idx].set(h.t, unique_indices=True)
-        return t.sum()
+    rays = make_bounce_rays(3)
+    jax.block_until_ready(rays.o)
 
-    t_a = timeit(trav, rays)
-    t_b = timeit(trav_sorted, rays)
-    print(f"random rays, XLA loop:          {t_a*1e3:8.1f} ms  "
-          f"({B/t_a/1e6:.2f} Mrays/s)")
-    print(f"morton+octant sorted (incl sort): {t_b*1e3:6.1f} ms  "
-          f"({B/t_b/1e6:.2f} Mrays/s)")
+    def trav_many(rays, sort_buckets):
+        def once(k, acc):
+            r = traversal.Rays(o=rays.o + 1e-5 * k, d=rays.d,
+                               tmin=rays.tmin, tmax=rays.tmax)
+            if sort_buckets:
+                key = ray_key(scene, r, sort_buckets > 8)
+                src, dest = bucket_perm(key, sort_buckets)
+                rs = traversal.Rays(o=r.o[src], d=r.d[src],
+                                    tmin=r.tmin[src], tmax=r.tmax[src])
+                hit, its, rows = traversal_pl.intersect_pallas(
+                    table_t, rs, with_iters=True)
+                t = hit.t[dest]
+            else:
+                hit, its, rows = traversal_pl.intersect_pallas(
+                    table_t, r, with_iters=True)
+                t = hit.t
+            return acc + jnp.sum(t) + its * 0.0, its
+        def body(k, carry):
+            acc, _ = carry
+            return once(k, acc)
+        acc, its = jax.lax.fori_loop(0, REPS, body, (jnp.float32(0.0),
+                                                     jnp.float32(0.0)))
+        return acc, its
 
-    # sort cost alone
-    @jax.jit
-    def sort_only(r):
-        cell = jnp.clip(((r.o - wlo) / span) * 32.0, 0, 31).astype(jnp.int32)
-        octant = ((r.d[:, 0] > 0).astype(jnp.int32)
-                  | ((r.d[:, 1] > 0).astype(jnp.int32) << 1)
-                  | ((r.d[:, 2] > 0).astype(jnp.int32) << 2))
-        key = (morton3(cell[:, 0], cell[:, 1], cell[:, 2]) << 3) | octant
-        idx = jnp.argsort(key).astype(jnp.int32)
-        return jnp.take(r.o, idx, axis=0).sum()
-    t_s = timeit(sort_only, rays)
-    print(f"sort+permute alone:             {t_s*1e3:8.1f} ms")
+    floor = timeit(jax.jit(lambda x: x + 1.0), jnp.zeros(4))
+    print(f"floor {floor*1e3:8.2f} ms", flush=True)
+    for label, nb in (("unsorted", 0), ("octant8", 8), ("oct_orig64", 64)):
+        fn = jax.jit(partial(trav_many, sort_buckets=nb))
+        t = timeit(fn, rays)
+        _, its = fn(rays)
+        net = (t - floor) / REPS
+        print(f"{label:12s} {net*1e3:8.2f} ms/call  lockstep_iters/rep "
+              f"{float(its)/REPS:8.0f}", flush=True)
+
+    # coherent reference: camera rays through the same path
+    pix = jnp.arange(B, dtype=jnp.int32) % (512 * 512)
+    cam, *_ = tracermod.gen_camera_rays(scene, pix, 0, 0, 512, 512)
+    fn = jax.jit(partial(trav_many, sort_buckets=0))
+    t = timeit(fn, cam)
+    _, its = fn(cam)
+    print(f"{'camera':12s} {(t-floor)/REPS*1e3:8.2f} ms/call  "
+          f"lockstep_iters/rep {float(its)/REPS:8.0f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,13 @@ Stage decomposition (VERDICT r3 #3 asked specifically for veach-mis):
   traversal     12x bare traversal on camera rays (6 closest + 6 any-hit)
   raygen+film   camera ray generation + film scatter-add only
 
+Every stage runs REPS chunks inside ONE jitted fori_loop and the report is
+NET per-chunk ms: (t_stage - t_floor)/REPS. Single-chunk calls on the axon
+tunnel are dominated by a ~50-70 ms dispatch+readback floor (round-4
+finding: `raygen_film` alone "measured" 72 ms), so un-looped stage deltas
+were noise. `floor` (an add-1.0-to-film jit) is printed so the subtraction
+is auditable.
+
 Timing ends at a real device->host readback (the axon tunnel's
 block_until_ready does not wait for execution — see bench.py docstring).
 """
@@ -39,6 +46,8 @@ from cudatracerlib_tpu.models import path as pathmod
 from cudatracerlib_tpu.ops import traversal, traversal8
 from cudatracerlib_tpu.scene import schema
 from cudatracerlib_tpu.utils import example_scenes
+
+REPS = int(os.environ.get("CTL_PROFILE_REPS", "10"))
 
 
 def _drain(out):
@@ -74,21 +83,33 @@ def main():
     else:
         raise SystemExit(f"unknown scene {name}")
     at = pathmod.scene_active_types(scene)
-    print(f"scene={name} tris={scene.num_tris} active_types={at}", flush=True)
+    print(f"scene={name} tris={scene.num_tris} active_types={at} "
+          f"reps={REPS}", flush=True)
     film = filmmod.new_film(w, h)
     z = jnp.float32(0.0)
-    args = (scene, film, z, z, z, z, jnp.int32(0), jnp.int32(0))
-    out = {"scene": name, "chunk": chunk}
+    args = (scene, film, z, z, z, z, jnp.int32(0))
+    out = {"scene": name, "chunk": chunk, "reps": REPS}
+
+    # the dispatch+readback floor every stage pays exactly once
+    t_floor = timeit(jax.jit(lambda f: f._replace(rgb=f.rgb + 1.0)), film)
+    out["floor_ms"] = round(t_floor * 1e3, 2)
+    print(f"{'floor':15s} {t_floor*1e3:8.2f} ms (subtracted below)",
+          flush=True)
 
     def make(**over):
-        fn = partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk, max_depth=6,
-                     rr_depth=3, use_nee=over.pop("use_nee", True), spp=1,
-                     active_types=over.pop("active_types", at), **over)
-        return jax.jit(fn)
+        # REPS chunks in ONE fori_loop dispatch (pass_idx varies per rep so
+        # XLA cannot CSE the loop body to a single iteration)
+        return jax.jit(partial(
+            pathmod._pt_many, n_passes=REPS, n_chunks=1, w=w, h=h,
+            chunk=chunk, max_depth=6, rr_depth=3,
+            use_nee=over.pop("use_nee", True), spp=1,
+            active_types=over.pop("active_types", at), **over))
 
     def rec(label, t):
-        out[label] = round(t * 1e3, 2)
-        print(f"{label:15s} {t*1e3:8.2f} ms", flush=True)
+        net = (t - t_floor) / REPS
+        out[label] = round(net * 1e3, 2)
+        print(f"{label:15s} {net*1e3:8.2f} ms/chunk  (raw {t*1e3:7.1f})",
+              flush=True)
 
     rec("full", timeit(make(), *args))
     rec("no_nee", timeit(make(use_nee=False), *args))
@@ -108,10 +129,10 @@ def main():
 
     # traversal alone: camera rays then 6x(closest+shadow-ish) on same rays
     from cudatracerlib_tpu.models import tracer as tracermod
-    def trav_only(scene, film, pass_idx, chunk_idx):
-        pixel_idx = (chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
+    def trav_once(scene, k):
+        pixel_idx = (k * 977 + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
         rays, px, py, state, wt = tracermod.gen_camera_rays(
-            scene, pixel_idx, pass_idx, pass_idx, w, h)
+            scene, pixel_idx, k, k, w, h)
         acc = jnp.zeros(chunk)
         for i in range(6):
             hit = traversal8.intersect_scene(scene.geom, rays)
@@ -122,8 +143,11 @@ def main():
             rays = traversal.Rays(o=rays.o + 0.01 * i, d=rays.d,
                                   tmin=rays.tmin, tmax=rays.tmax)
         return acc
-    targs = (scene, film, jnp.int32(0), jnp.int32(0))
-    rec("traversal_12x", timeit(jax.jit(trav_only), *targs))
+
+    def trav_many(scene):
+        return jax.lax.fori_loop(
+            0, REPS, lambda k, a: a + trav_once(scene, k), jnp.zeros(chunk))
+    rec("traversal_12x", timeit(jax.jit(trav_many), scene))
 
     # --- NEE decomposition (VERDICT r3 #3): which part of NEE costs? ---
     from cudatracerlib_tpu.models import lights as lightsmod
@@ -152,18 +176,21 @@ def main():
         rec("merge_off", timeit(make(), *args))
 
     # chunk-size scaling: marginal compute per lane vs the fixed call floor
-    chunk2 = chunk * 2
-    fn2 = jax.jit(partial(pathmod._pt_chunk, w=w, h=h, chunk=chunk2,
-                          max_depth=6, rr_depth=3, use_nee=True, spp=1,
-                          active_types=at))
+    fn2 = jax.jit(partial(pathmod._pt_many, n_passes=REPS, n_chunks=1,
+                          w=w, h=h, chunk=chunk * 2, max_depth=6, rr_depth=3,
+                          use_nee=True, spp=1, active_types=at))
     rec("full_2x_chunk", timeit(fn2, *args))
 
-    def raygen_only(scene, film, pass_idx, chunk_idx):
-        pixel_idx = (chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
+    def raygen_once(scene, film, k):
+        pixel_idx = (k * 977 + jnp.arange(chunk, dtype=jnp.int32)) % (w * h)
         rays, px, py, state, wt = tracermod.gen_camera_rays(
-            scene, pixel_idx, pass_idx, pass_idx, w, h)
+            scene, pixel_idx, k, k, w, h)
         return filmmod.add_samples(film, px, py, jnp.stack([rays.d[:, 0]]*3, -1))
-    rec("raygen_film", timeit(jax.jit(raygen_only), *targs))
+
+    def raygen_many(scene, film):
+        return jax.lax.fori_loop(
+            0, REPS, lambda k, f: raygen_once(scene, f, k), film)
+    rec("raygen_film", timeit(jax.jit(raygen_many), scene, film))
 
     print(json.dumps(out), flush=True)
 
