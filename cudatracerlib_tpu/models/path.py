@@ -105,10 +105,10 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     # samplers.sample_1d_dyn supports.
     use_seq = sampler_type != 0 and pixel_idx is not None
     # merged bounce+shadow wavefront (see MERGE_SHADOW above). Media need
-    # the occlusion result in-iteration (transmittance sampling order), and
-    # the instanced dispatch has no per-lane any-hit yet.
-    merge = (MERGE_SHADOW and use_nee and not with_media and not with_bssrdf
-             and geom.inst is None)
+    # the occlusion result in-iteration (transmittance sampling order).
+    # Instanced scenes merge too (round 4: any_mask threads through every
+    # BLAS visit of ops/instanced.py).
+    merge = (MERGE_SHADOW and use_nee and not with_media and not with_bssrdf)
 
     def bounce(depth, carry, coherent=False):
         if merge:
@@ -136,7 +136,9 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 geom, comb, with_iters=True, coherent=coherent,
                 any_mask=amask)
             hit = traversal.Hit(t=h2.t[:B], tri=h2.tri[:B],
-                                u=h2.u[:B], v=h2.v[:B])
+                                u=h2.u[:B], v=h2.v[:B],
+                                inst=None if h2.inst is None
+                                else h2.inst[:B])
             occluded_prev = h2.tri[B:] >= 0
             L = L + jnp.where((p_act & ~occluded_prev)[:, None],
                               p_contrib, 0.0)

@@ -143,7 +143,7 @@ def _safe_inv_dir(d: Array) -> Array:
 
 
 def _blas_intersect(geom: schema.GeometryTable, local: Rays, k: Array,
-                    any_hit: bool):
+                    any_hit: bool, any_mask: Array = None):
     """One BLAS visit over the shared forest table with per-lane roots.
 
     HBM-scale forests (geom.tt_* present, built multi-root by
@@ -161,16 +161,24 @@ def _blas_intersect(geom: schema.GeometryTable, local: Rays, k: Array,
             and (on_tpu or traversal8.FORCE_TREELET)):
         return traversal8.intersect_treelet_exact(
             g, local, any_hit=any_hit, coherent=False, with_iters=True,
-            roots=roots, roots_top=jnp.take(inst.root_top, k))
+            roots=roots, roots_top=jnp.take(inst.root_top, k),
+            any_mask=any_mask)
     return traversal8.intersect_scene(g, local, any_hit=any_hit, roots=roots,
-                                      with_iters=True)
+                                      with_iters=True, any_mask=any_mask)
 
 
 def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                         any_hit: bool = False,
                         max_visits: int = MAX_VISITS,
-                        with_iters: bool = False):
+                        with_iters: bool = False,
+                        any_mask: Array = None):
     """Closest-hit (or any-hit) over an instanced scene.
+
+    ``any_mask`` (per-lane any-hit, for the merged bounce+shadow wavefront of
+    models/path.py) threads through every BLAS visit — the underlying
+    kernels already sign-encode it — and masked lanes early-out of the
+    instance visit loop on their first accepted hit, exactly like a global
+    ``any_hit`` call does.
 
     Returns Hit with LOCAL triangle ids and the instance id in ``hit.inst``
     (shading resolves both via fill_dg's instanced branch). With
@@ -189,6 +197,7 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
     inst = geom.inst
     B = rays.o.shape[0]
     I = inst.root.shape[0]
+    assert not (any_hit and any_mask is not None)
     niters = jnp.float32(0.0)
     nrows = jnp.float32(0.0)
     novf = jnp.float32(0.0)
@@ -221,7 +230,8 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
             d_l = _transform_dir(w2l, rays.d)
             local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
                          tmax=jnp.where(active, best.t, 0.0))
-            h, it1, rw1, ov1 = _blas_intersect(geom, local, k, any_hit)
+            h, it1, rw1, ov1 = _blas_intersect(geom, local, k, any_hit,
+                                               any_mask=any_mask)
             niters = niters + it1
             nrows = nrows + rw1
             novf = novf + ov1
@@ -233,6 +243,8 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                        inst=jnp.where(better, k, best.inst))
             if any_hit:
                 done = done | (active & h.valid)
+            elif any_mask is not None:
+                done = done | (active & h.valid & any_mask)
         if with_iters:
             return best, niters, nrows, novf
         return best
@@ -271,7 +283,8 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
         d_l = _transform_dir(w2l, rays.d)
         local = Rays(o=o_l, d=d_l, tmin=rays.tmin,
                      tmax=jnp.where(active, best.t, 0.0))
-        h, it1, rw1, ov1 = _blas_intersect(geom, local, k, any_hit)
+        h, it1, rw1, ov1 = _blas_intersect(geom, local, k, any_hit,
+                                           any_mask=any_mask)
         niters = niters + it1
         nrows = nrows + rw1
         novf = novf + ov1
@@ -283,6 +296,8 @@ def intersect_instanced(geom: schema.GeometryTable, rays: Rays,
                    inst=jnp.where(better, k, best.inst))
         if any_hit:
             done = done | (active & h.valid)
+        elif any_mask is not None:
+            done = done | (active & h.valid & any_mask)
     if with_iters:
         return best, niters, nrows, novf
     return best

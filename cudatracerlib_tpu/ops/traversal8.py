@@ -521,9 +521,9 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
     from . import traversal_pl
     if geom.inst is not None:
         from . import instanced
-        assert any_mask is None, "per-lane any-hit: instanced path pending"
         return instanced.intersect_instanced(geom, rays, any_hit=any_hit,
-                                             with_iters=with_iters)
+                                             with_iters=with_iters,
+                                             any_mask=any_mask)
     n_rows = geom.wide.shape[0]
     on_tpu = _jax.default_backend() not in ("cpu",)
     if ((on_tpu or FORCE_PALLAS)

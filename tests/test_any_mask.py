@@ -108,3 +108,42 @@ def test_pt_merged_shadow_matches_unmerged():
         got = np.asarray(pathmod.PathTracer(scene, 32, 32, max_depth=4,
                                             seed=5).render(2))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_any_mask_instanced():
+    """Mixed wavefront through the two-level TLAS/BLAS path (round 4: the
+    merged bounce+shadow wavefront now serves instanced scenes too)."""
+    from tests.test_instancing import _scene
+    from cudatracerlib_tpu.models import tracer as tracermod
+
+    scene = _scene().build(instancing="auto")
+    assert scene.geom.inst is not None
+    B = 1024
+    pix = jnp.arange(B, dtype=jnp.int32) * 2
+    rays, *_ = tracermod.gen_camera_rays(scene, pix, 0, 0, 48, 48)
+    mask = jnp.asarray(np.arange(B) % 2 == 1)
+    h_mixed = traversal8.intersect_scene(scene.geom, rays, any_mask=mask)
+    h_c = traversal8.intersect_scene(scene.geom, rays)
+    h_a = traversal8.intersect_scene(scene.geom, rays, any_hit=True)
+    _check(h_mixed, h_c, h_a, mask)
+    # instance ids must also survive the mixed call on closest lanes
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(np.asarray(h_mixed.inst)[~m],
+                                  np.asarray(h_c.inst)[~m])
+
+
+def test_pt_merged_shadow_matches_unmerged_instanced():
+    from unittest import mock
+    import jax
+    from tests.test_instancing import _scene
+    from cudatracerlib_tpu.models import path as pathmod
+
+    scene = _scene().build(instancing="auto")
+    with mock.patch.object(pathmod, "MERGE_SHADOW", False):
+        ref = np.asarray(pathmod.PathTracer(scene, 48, 48, max_depth=4,
+                                            seed=5).render(2))
+    jax.clear_caches()   # MERGE_SHADOW is outside jit cache keys
+    with mock.patch.object(pathmod, "MERGE_SHADOW", True):
+        got = np.asarray(pathmod.PathTracer(scene, 48, 48, max_depth=4,
+                                            seed=5).render(2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
