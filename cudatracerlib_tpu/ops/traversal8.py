@@ -424,14 +424,26 @@ V_INCOHERENT = int(_os.environ.get("CTL_V_INCOHERENT", "4"))
 SORT_INCOHERENT = _os.environ.get("CTL_SORT_INCOHERENT", "0") == "1"
 
 
+SORT_IMPL = _os.environ.get("CTL_SORT_IMPL", "lax")
+
+
 def _bucket_perm(key: Array, n_buckets: int):
-    """Stable counting-sort permutation for small integer keys.
+    """Stable sort permutation for small integer keys.
 
     Returns (src, dest): `x[src]` is x in key-sorted order; `sorted_y[dest]`
-    restores original order. O(B * n_buckets) elementwise + cumsum — no
-    comparison sort.
+    restores original order. Two implementations, selectable for A/B:
+    - "lax" (default): ONE variadic lax.sort for src, a second to invert it
+      (the arbitrary-index scatter that a counting sort needs to invert its
+      dest lowers to a near-serial loop on TPU — see the measured note in
+      ops/traversal_tt.py; sorting (order, iota) is the fast inverse).
+    - "counting": O(B*n_buckets) one-hot cumsum + a unique-index scatter.
     """
     B = key.shape[0]
+    iota = jnp.arange(B, dtype=jnp.int32)
+    if SORT_IMPL == "lax":
+        _, src = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+        _, dest = jax.lax.sort((src, iota), num_keys=1, is_stable=True)
+        return src, dest
     onehot = (key[:, None] == jnp.arange(n_buckets, dtype=key.dtype)[None, :]
               ).astype(jnp.int32)                       # (B, nb)
     within = jnp.cumsum(onehot, axis=0) - onehot        # rank inside bucket
@@ -439,7 +451,7 @@ def _bucket_perm(key: Array, n_buckets: int):
     offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(counts)[:-1].astype(jnp.int32)])
     dest = jnp.take(offs, key) + jnp.sum(within * onehot, axis=1)
-    src = jnp.zeros(B, jnp.int32).at[dest].set(jnp.arange(B, dtype=jnp.int32))
+    src = jnp.zeros(B, jnp.int32).at[dest].set(iota, unique_indices=True)
     return src, dest
 
 
@@ -462,18 +474,40 @@ def _ray_sort_key(rays: Rays, n_buckets: int = 65) -> Array:
 def _pallas_sorted(table_t, rays: Rays, any_hit: bool, roots, with_iters,
                    any_mask):
     """intersect_pallas behind a coherence-restoring permutation (exact: a
-    pure reorder of independent per-ray queries)."""
+    pure reorder of independent per-ray queries).
+
+    Permutes via STACKED multi-row lane gathers — separate per-field 1-D
+    element gathers lower to a ~7ns/element serial path on TPU while
+    gathering all rows of a (R, B) operand along axis 1 is ~17x faster
+    (measured, see ops/traversal_tt.py)."""
     from . import traversal_pl
     src, dest = _bucket_perm(_ray_sort_key(rays), 65)
-    rs = Rays(o=rays.o[src], d=rays.d[src], tmin=rays.tmin[src],
-              tmax=rays.tmax[src])
-    roots_s = None if roots is None else roots[src]
-    amask_s = None if any_mask is None else any_mask[src]
+    B = rays.o.shape[0]
+    stk = [rays.o[:, 0], rays.o[:, 1], rays.o[:, 2],
+           rays.d[:, 0], rays.d[:, 1], rays.d[:, 2],
+           rays.tmin, rays.tmax]
+    if roots is not None:
+        stk.append(jax.lax.bitcast_convert_type(roots, jnp.float32))
+    if any_mask is not None:
+        stk.append(any_mask.astype(jnp.float32))
+    g = jnp.take(jnp.stack(stk, axis=0), src, axis=1)     # (R, B) one gather
+    rs = Rays(o=g[0:3].T, d=g[3:6].T, tmin=g[6], tmax=g[7])
+    i = 8
+    roots_s = None
+    if roots is not None:
+        roots_s = jax.lax.bitcast_convert_type(g[i], jnp.int32)
+        i += 1
+    amask_s = None if any_mask is None else g[i] > 0.5
     res = traversal_pl.intersect_pallas(table_t, rs, any_hit=any_hit,
                                         roots=roots_s, with_iters=with_iters,
                                         any_mask=amask_s)
     hit = res[0] if with_iters else res
-    hit = Hit(t=hit.t[dest], tri=hit.tri[dest], u=hit.u[dest], v=hit.v[dest])
+    hs = jnp.take(jnp.stack([hit.t,
+                             jax.lax.bitcast_convert_type(hit.tri,
+                                                          jnp.float32),
+                             hit.u, hit.v], axis=0), dest, axis=1)
+    hit = Hit(t=hs[0], tri=jax.lax.bitcast_convert_type(hs[1], jnp.int32),
+              u=hs[2], v=hs[3])
     if with_iters:
         return (hit,) + tuple(res[1:])
     return hit
@@ -591,24 +625,31 @@ def intersect_treelet_exact(geom, rays: Rays, any_hit: bool = False,
     # Exactness no longer depends on any budget; `clipped` is 0 by
     # construction and stays in the stats tuple for interface stability.
     B = rays.o.shape[0]
-    fb_rays = Rays(o=rays.o, d=rays.d, tmin=rays.tmin,
-                   tmax=jnp.where(ovf, hit.t, 0.0))
-    K = DEFAULT_RAYS_PER_LANE
-    if B % K == 0 and B >= 4 * K:
-        # persistent lanes amortize the lockstep worst-lane tail over
-        # the (mostly dead) fallback batch
-        fb = intersect_wide_persistent(geom.wide, fb_rays,
-                                       rays_per_lane=K, any_hit=any_hit,
-                                       roots=roots, any_mask=any_mask)
-    else:
-        fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit,
-                            roots=roots, any_mask=any_mask)
-    # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
-    win = fb.valid & ovf
-    hit = Hit(t=jnp.where(win, fb.t, hit.t),
-              tri=jnp.where(win, fb.tri, hit.tri),
-              u=jnp.where(win, fb.u, hit.u),
-              v=jnp.where(win, fb.v, hit.v))
+
+    def _run_fallback(hit):
+        fb_rays = Rays(o=rays.o, d=rays.d, tmin=rays.tmin,
+                       tmax=jnp.where(ovf, hit.t, 0.0))
+        K = DEFAULT_RAYS_PER_LANE
+        if B % K == 0 and B >= 4 * K:
+            # persistent lanes amortize the lockstep worst-lane tail over
+            # the (mostly dead) fallback batch
+            fb = intersect_wide_persistent(geom.wide, fb_rays,
+                                           rays_per_lane=K, any_hit=any_hit,
+                                           roots=roots, any_mask=any_mask)
+        else:
+            fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit,
+                                roots=roots, any_mask=any_mask)
+        # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
+        win = fb.valid & ovf
+        return Hit(t=jnp.where(win, fb.t, hit.t),
+                   tri=jnp.where(win, fb.tri, hit.tri),
+                   u=jnp.where(win, fb.u, hit.u),
+                   v=jnp.where(win, fb.v, hit.v))
+
+    # runtime-skip the whole re-traversal when NOTHING overflowed (common
+    # for sky-heavy chunks): lax.cond executes only the taken branch on TPU,
+    # so clean batches pay one reduction instead of a full masked loop
+    hit = jax.lax.cond(jnp.any(ovf), _run_fallback, lambda h: h, hit)
     if with_iters:
         return hit, res[2], res[3], jnp.float32(0.0)
     return hit

@@ -37,7 +37,11 @@ from typing import NamedTuple
 import numpy as np
 
 LANES = 128
-TREELET_ROWS = 256          # rows per treelet slab (2 slabs of 128)
+# rows per treelet slab (2 slabs of 128 by default). Env-tunable for perf
+# A/Bs: larger treelets mean fewer visits per ray (fewer sort entries and
+# phase-2 blocks) at more VMEM per visit; the tradeoff is scene-dependent.
+import os as _os                                             # noqa: E402
+TREELET_ROWS = int(_os.environ.get("CTL_TREELET_ROWS", "256"))
 # The top table must stay on the VMEM Pallas path, so its cap is DERIVED from
 # that kernel's budget (advisor finding, round 3: scenes whose table fits the
 # VMEM kernel never reach the treelet dispatch, so a top cap above the VMEM
@@ -250,8 +254,9 @@ def partition_cached(table: np.ndarray, **kw) -> "TreeletTable | None":
     if R <= kw.get("max_top_rows", MAX_TOP_ROWS):
         return None
     roots = tuple(int(r) for r in kw.get("roots", (0,)))
+    rows = int(kw.get("treelet_rows", TREELET_ROWS))
     hsh = hashlib.sha1(table[:: max(1, R // 997)].tobytes())
-    hsh.update(np.asarray(roots, np.int64).tobytes())
+    hsh.update(np.asarray(roots + (rows,), np.int64).tobytes())
     h = hsh.hexdigest()[:16]
     cache_dir = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
     os.makedirs(cache_dir, exist_ok=True)

@@ -59,32 +59,6 @@ def timeit(fn, *args, n=6, warmup=1):
     return statistics.median(ts)
 
 
-def bucket_perm(key, n_buckets):
-    """Stable counting-sort permutation: src index for each dest slot."""
-    B = key.shape[0]
-    onehot = jax.nn.one_hot(key, n_buckets, dtype=jnp.int32)     # (B, nb)
-    within = jnp.cumsum(onehot, axis=0) - onehot                  # rank in bucket
-    counts = jnp.sum(onehot, axis=0)
-    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    dest = offs[key] + jnp.sum(within * onehot, axis=1)
-    src_of_dest = jnp.zeros(B, jnp.int32).at[dest].set(
-        jnp.arange(B, dtype=jnp.int32))
-    return src_of_dest, dest
-
-
-def ray_key(scene, rays, bits_origin):
-    d = rays.d
-    k = ((d[:, 0] > 0).astype(jnp.int32)
-         + 2 * (d[:, 1] > 0).astype(jnp.int32)
-         + 4 * (d[:, 2] > 0).astype(jnp.int32))
-    if bits_origin:
-        lo, hi = scene.world_lo, scene.world_hi
-        cell = jnp.clip(((rays.o - lo) / (hi - lo) * 2).astype(jnp.int32), 0, 1)
-        k = k * 8 + cell[:, 0] * 4 + cell[:, 1] * 2 + cell[:, 2]
-    return k
-
-
 def main():
     B = 1 << 17
     scene = example_scenes.veach_mis(512, 512).build()
@@ -110,23 +84,18 @@ def main():
     rays = make_bounce_rays(3)
     jax.block_until_ready(rays.o)
 
-    def trav_many(rays, sort_buckets):
+    def trav_many(rays, mode):
         def once(k, acc):
             r = traversal.Rays(o=rays.o + 1e-5 * k, d=rays.d,
                                tmin=rays.tmin, tmax=rays.tmax)
-            if sort_buckets:
-                key = ray_key(scene, r, sort_buckets > 8)
-                src, dest = bucket_perm(key, sort_buckets)
-                rs = traversal.Rays(o=r.o[src], d=r.d[src],
-                                    tmin=r.tmin[src], tmax=r.tmax[src])
-                hit, its, rows = traversal_pl.intersect_pallas(
-                    table_t, rs, with_iters=True)
-                t = hit.t[dest]
+            if mode == "sorted":
+                hit, its, rows = traversal8._pallas_sorted(
+                    table_t, r, any_hit=False, roots=None, with_iters=True,
+                    any_mask=None)
             else:
                 hit, its, rows = traversal_pl.intersect_pallas(
                     table_t, r, with_iters=True)
-                t = hit.t
-            return acc + jnp.sum(t) + its * 0.0, its
+            return acc + jnp.sum(hit.t) + its * 0.0, its
         def body(k, carry):
             acc, _ = carry
             return once(k, acc)
@@ -134,12 +103,17 @@ def main():
                                                      jnp.float32(0.0)))
         return acc, its
 
+    from unittest import mock
     floor = timeit(jax.jit(lambda x: x + 1.0), jnp.zeros(4))
     print(f"floor {floor*1e3:8.2f} ms", flush=True)
-    for label, nb in (("unsorted", 0), ("octant8", 8), ("oct_orig64", 64)):
-        fn = jax.jit(partial(trav_many, sort_buckets=nb))
-        t = timeit(fn, rays)
-        _, its = fn(rays)
+    for label, mode, impl in (("unsorted", "plain", None),
+                              ("sorted_lax", "sorted", "lax"),
+                              ("sorted_cnt", "sorted", "counting")):
+        with mock.patch.object(traversal8, "SORT_IMPL", impl or "lax"):
+            jax.clear_caches()   # SORT_IMPL is outside jit cache keys
+            fn = jax.jit(partial(trav_many, mode=mode))
+            t = timeit(fn, rays)
+            _, its = fn(rays)
         net = (t - floor) / REPS
         print(f"{label:12s} {net*1e3:8.2f} ms/call  lockstep_iters/rep "
               f"{float(its)/REPS:8.0f}", flush=True)
@@ -147,7 +121,7 @@ def main():
     # coherent reference: camera rays through the same path
     pix = jnp.arange(B, dtype=jnp.int32) % (512 * 512)
     cam, *_ = tracermod.gen_camera_rays(scene, pix, 0, 0, 512, 512)
-    fn = jax.jit(partial(trav_many, sort_buckets=0))
+    fn = jax.jit(partial(trav_many, mode="plain"))
     t = timeit(fn, cam)
     _, its = fn(cam)
     print(f"{'camera':12s} {(t-floor)/REPS*1e3:8.2f} ms/call  "
