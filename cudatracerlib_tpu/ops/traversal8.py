@@ -625,11 +625,23 @@ def intersect_treelet_exact(geom, rays: Rays, any_hit: bool = False,
     # Exactness no longer depends on any budget; `clipped` is 0 by
     # construction and stays in the stats tuple for interface stability.
     B = rays.o.shape[0]
+    K = DEFAULT_RAYS_PER_LANE
+    # compacted-branch width: covers the measured ~8% overflow rate of
+    # incoherent V=4 wavefronts with 2x headroom; lane-aligned for the
+    # persistent loop
+    M = max(4 * K, (B // 8) // K * K)
 
-    def _run_fallback(hit):
+    def _merge(hit, fb, mask):
+        # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
+        win = fb.valid & mask
+        return Hit(t=jnp.where(win, fb.t, hit.t),
+                   tri=jnp.where(win, fb.tri, hit.tri),
+                   u=jnp.where(win, fb.u, hit.u),
+                   v=jnp.where(win, fb.v, hit.v))
+
+    def _full_fallback(hit):
         fb_rays = Rays(o=rays.o, d=rays.d, tmin=rays.tmin,
                        tmax=jnp.where(ovf, hit.t, 0.0))
-        K = DEFAULT_RAYS_PER_LANE
         if B % K == 0 and B >= 4 * K:
             # persistent lanes amortize the lockstep worst-lane tail over
             # the (mostly dead) fallback batch
@@ -639,17 +651,55 @@ def intersect_treelet_exact(geom, rays: Rays, any_hit: bool = False,
         else:
             fb = intersect_wide(geom.wide, fb_rays, any_hit=any_hit,
                                 roots=roots, any_mask=any_mask)
-        # fb.valid implies fb.t < its tmax == treelet t, so it wins outright
-        win = fb.valid & ovf
-        return Hit(t=jnp.where(win, fb.t, hit.t),
-                   tri=jnp.where(win, fb.tri, hit.tri),
-                   u=jnp.where(win, fb.u, hit.u),
-                   v=jnp.where(win, fb.v, hit.v))
+        return _merge(hit, fb, ovf)
 
-    # runtime-skip the whole re-traversal when NOTHING overflowed (common
-    # for sky-heavy chunks): lax.cond executes only the taken branch on TPU,
-    # so clean batches pay one reduction instead of a full masked loop
-    hit = jax.lax.cond(jnp.any(ovf), _run_fallback, lambda h: h, hit)
+    def _compact_fallback(hit):
+        # overflow rays only: the full-batch loop's gather traffic is
+        # lanes x iterations x 512B even for dead lanes (measured round 4:
+        # the fallback's gathers DOMINATED the san-miguel pass at ~2 GB per
+        # call). Sort-compact the <= M overflow rays (stable variadic
+        # lax.sort — arbitrary-index scatters lower near-serially on TPU),
+        # re-traverse the M-lane batch, and merge back with a stacked
+        # multi-row gather via the inverse permutation.
+        iota = jnp.arange(B, dtype=jnp.int32)
+        key = jnp.where(ovf, 0, 1).astype(jnp.int32)
+        _, idx = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+        _, pos = jax.lax.sort((idx, iota), num_keys=1, is_stable=True)
+        stk = [rays.o[:, 0], rays.o[:, 1], rays.o[:, 2],
+               rays.d[:, 0], rays.d[:, 1], rays.d[:, 2],
+               rays.tmin, jnp.where(ovf, hit.t, 0.0)]
+        if roots is not None:
+            stk.append(jax.lax.bitcast_convert_type(roots, jnp.float32))
+        g = jnp.take(jnp.stack(stk, axis=0), idx[:M], axis=1)
+        fb_rays = Rays(o=g[0:3].T, d=g[3:6].T, tmin=g[6], tmax=g[7])
+        roots_m = (jax.lax.bitcast_convert_type(g[8], jnp.int32)
+                   if roots is not None else None)
+        fb_m = intersect_wide_persistent(geom.wide, fb_rays,
+                                         rays_per_lane=K, any_hit=any_hit,
+                                         roots=roots_m)
+        # lane i's result sits at slot pos[i] (valid only when pos[i] < M,
+        # i.e. the lane actually overflowed into the compacted batch)
+        hs = jnp.take(jnp.stack(
+            [fb_m.t, jax.lax.bitcast_convert_type(fb_m.tri, jnp.float32),
+             fb_m.u, fb_m.v], axis=0), jnp.minimum(pos, M - 1), axis=1)
+        fb = Hit(t=hs[0], tri=jax.lax.bitcast_convert_type(hs[1], jnp.int32),
+                 u=hs[2], v=hs[3])
+        return _merge(hit, fb, ovf & (pos < M))
+
+    # runtime ladder (lax.cond executes only the taken branch on TPU):
+    #   no overflow     -> skip everything (sky-heavy chunks)
+    #   overflow <= M   -> compacted re-traversal (the common case)
+    #   overflow > M    -> exact full-batch masked loop (never clips)
+    n_ovf = jnp.sum(ovf.astype(jnp.int32))
+    can_compact = B % K == 0 and B >= 4 * K and M % K == 0
+    if can_compact:
+        hit = jax.lax.cond(
+            n_ovf == 0, lambda h: h,
+            lambda h: jax.lax.cond(n_ovf <= M, _compact_fallback,
+                                   _full_fallback, h),
+            hit)
+    else:
+        hit = jax.lax.cond(n_ovf == 0, lambda h: h, _full_fallback, hit)
     if with_iters:
         return hit, res[2], res[3], jnp.float32(0.0)
     return hit

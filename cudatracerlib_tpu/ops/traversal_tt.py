@@ -478,8 +478,9 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
     # ONE variadic sort carries the payloads through the sort network —
     # argsort + three 524k-element take()s cost ~4ms EACH on TPU (the
-    # 1-D element-gather serial path); the variadic sort costs about as
-    # much as the keys-only sort (~2ms)
+    # 1-D element-gather serial path); the variadic sort measures 0.9 ms
+    # in-context at S=262k (looped stage decomposition,
+    # tools/microbench_tt_stages.py — docs/ROUND4_NOTES.md §8)
     iota_s = jnp.arange(S, dtype=jnp.int32)
     tid_sorted, root_sorted, order = jax.lax.sort(
         (tid_flat, root_flat, iota_s), num_keys=1)

@@ -185,3 +185,39 @@ def test_pt_treelet_dispatch_matches_plain_loop(scene, part):
     assert abs(got.mean() / ref.mean() - 1.0) < 1e-3
     close = np.isclose(got, ref, rtol=1e-3, atol=1e-4).mean()
     assert close > 0.995, float(close)
+
+
+def test_overflow_compact_branch_exact(scene, part, rays):
+    """The round-4 runtime fallback ladder: when 0 < overflow <= B/8 the
+    overflow rays are sort-compacted and re-traversed in an M-lane batch
+    (the full-batch loop's gather traffic is lanes x iterations x 512B even
+    for dead lanes — it dominated san-miguel passes). Exactness must hold
+    through the compaction permutation and the inverse-gather merge."""
+    from unittest import mock
+
+    top_t, slabs_t = treelet.prep_device(part)
+    geom = scene.geom._replace(tt_top=jnp.asarray(top_t),
+                               tt_slabs=jnp.asarray(slabs_t),
+                               tt_vid=jnp.asarray(part.vid_map))
+    B = rays.o.shape[0]
+    K = traversal8.DEFAULT_RAYS_PER_LANE
+    M = max(4 * K, (B // 8) // K * K)
+    # pick a V that lands the overflow count strictly inside (0, M]
+    for V in (2, 3, 4):
+        res = traversal_tt.intersect_treelet(geom.tt_top, geom.tt_slabs,
+                                             geom.tt_vid, rays, V=V,
+                                             with_overflow=True)
+        n_ovf = int(np.asarray(res[1]).sum())
+        if 0 < n_ovf <= M:
+            break
+    assert 0 < n_ovf <= M, f"no V produced a compactable overflow ({n_ovf})"
+
+    h_ref = traversal8.intersect_wide(scene.geom.wide, rays)
+    with mock.patch.object(traversal8, "V_COHERENT", V), \
+            mock.patch.object(traversal8, "FORCE_TREELET", True):
+        hit, _, _, clipped = traversal8.intersect_scene(
+            geom, rays, coherent=True, with_iters=True)
+    assert int(clipped) == 0
+    assert np.array_equal(np.asarray(hit.tri), np.asarray(h_ref.tri))
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(h_ref.t),
+                               rtol=1e-5)
