@@ -42,6 +42,33 @@ import time
 BASELINE_MRAYS = 150.0
 HBM_PEAK_GBPS = 819.0          # TPU v5e (axon device: "TPU v5 lite")
 ROW_BYTES = 512                # one 128-float fat row
+# VPU state-machine speed of light (ROUND3_NOTES roofline): one 128-lane
+# Pallas tile_step (8-slab test + 12-wide Moller-Trumbore + stack step)
+# measures ~350 ns on v5e = 2.7 ns per ray-step.  A config's traversal
+# roofline is therefore 1 / (2.7 ns x measured steps-per-ray); the
+# occupancy figure below divides the time the chip spent doing SOL-rate
+# step work by the wall window (the remainder is glue, shading, dispatch
+# and lane under-utilization).
+SOL_NS_PER_RAY_STEP = 2.7
+
+
+def _roofline_fields(rays: float, rows: float, dt: float) -> dict:
+    """%-of-roofline per config (VERDICT r4 #6), from the device counters:
+    rows_gathered counts one state-machine step per LANE (dead-lane padding
+    included), so steps/ray folds lane waste in and the occupancy isolates
+    everything that is NOT step work."""
+    if not rays or not rows or not dt:
+        return {}
+    steps_per_ray = rows / rays
+    roof = 1e3 / (SOL_NS_PER_RAY_STEP * steps_per_ray)   # Mrays/s
+    achieved = rays / dt / 1e6
+    return {
+        "roofline_model": "VPU state machine, 2.7 ns/ray-step "
+                          "(128-lane tile_step ~350 ns, ROUND3_NOTES)",
+        "steps_per_live_ray": round(steps_per_ray, 2),
+        "roofline_Mrays_s": round(roof, 2),
+        "pct_of_roofline": round(100.0 * achieved / roof, 2),
+    }
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
 CACHE_DIR = "/tmp/jax_cache_ctl_bench"
 REPS = 3
@@ -138,6 +165,7 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
         # fallback batch budget — MUST be 0 or hits may be treelet-pruned
         "overflow_clipped": int(tr._ovf_dev),
         "image": _save_image(tr.film, key),
+        **_roofline_fields(rays, rows, dt),
     }
 
 
@@ -189,6 +217,7 @@ def bench_prim():
         "vmem_resident_table": True,
         "counters": "device-accumulated in the fused pass loop",
         "image": _save_image(tr.film, "prim"),
+        **_roofline_fields(w * h * n_passes, rw_n, dt),
     }
 
 
@@ -459,20 +488,68 @@ EST_SECONDS = {
 }
 
 
-def _preflight(timeout_s: float = 120.0) -> bool:
-    """Cheap liveness probe: the axon tunnel can hang indefinitely (observed
-    round 3: even an 8-element sum never returns). Without this, each config
-    burns its full subprocess timeout on a dead tunnel."""
+def _preflight(timeout_s: float = 110.0) -> bool:
+    """Liveness probe: the axon tunnel can hang indefinitely (observed round
+    3: even an 8-element sum never returns; round 4's outage kept TINY probes
+    alive while any real transfer hung, so probe H2D with a real array).
+    Without this, each config burns its full subprocess timeout on a dead
+    tunnel."""
     import subprocess
     import sys
     try:
         p = subprocess.run(
             [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print('OK', float(jnp.arange(8).sum()))"],
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "x = jnp.asarray(np.ones((128, 2048), np.float32));"
+             "print('OK', float(jax.jit(lambda v: v.sum())(x)))"],
             capture_output=True, text=True, timeout=timeout_s)
         return "OK" in p.stdout
     except subprocess.TimeoutExpired:
         return False
+
+
+def _wait_for_tunnel(deadline: float) -> bool:
+    """Bounded wait-for-tunnel retry loop (VERDICT r4 #2): tunnel outages are
+    TRANSIENT (round 4's came back within the round) — probe, sleep, retry
+    within a sub-budget instead of declaring the whole bench dead on the
+    first failed probe.  Returns True as soon as a probe passes; gives up
+    when less than one config's floor estimate would remain."""
+    wait_budget = min(deadline - time.time() - 300.0,
+                      float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900")))
+    t_end = time.time() + max(wait_budget, 0.0)
+    attempt = 0
+    while True:
+        attempt += 1
+        if _preflight():
+            return True
+        now = time.time()
+        if now >= t_end:
+            return False
+        print(json.dumps({"tunnel_probe": attempt, "status": "down",
+                          "retry_in_s": 45,
+                          "wait_left_s": round(t_end - now)}), flush=True)
+        time.sleep(min(45.0, max(t_end - now, 1.0)))
+
+
+def _persist_last_good(name: str, rec: dict) -> None:
+    """Keep the last successful record per config so a partial tunnel outage
+    still reports stale-but-labeled numbers instead of nothing."""
+    if rec.get("value") is None:
+        return
+    d = os.path.join(OUT_DIR, "last_good")
+    os.makedirs(d, exist_ok=True)
+    rec = dict(rec)
+    rec["captured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(d, f"{name}.json"), "w") as f:
+        json.dump(rec, f)
+
+
+def _load_last_good(name: str):
+    p = os.path.join(OUT_DIR, "last_good", f"{name}.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
 
 
 def main():
@@ -487,14 +564,17 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     deadline = time.time() + budget
 
-    if not _preflight():
+    if not _wait_for_tunnel(deadline):
+        stale = {n: _load_last_good(n) for n in CONFIGS}
+        stale = {n: r for n, r in stale.items() if r}
         print(json.dumps({
             "metric": "path-tracer throughput (Cornell 512x512, depth 6, "
                       "NEE+MIS, live rays)",
             "value": None, "unit": "Mrays/s", "vs_baseline": None,
-            "error": "device backend unreachable: a trivial 8-element "
-                     "reduction did not complete within 120s (tunnel down); "
-                     "no configs were run"}), flush=True)
+            "error": "device backend unreachable: an H2D probe + reduction "
+                     "did not complete despite bounded retries (tunnel "
+                     "down); no configs were run this invocation",
+            "stale_last_good": stale}), flush=True)
         return
 
     def run_child(name, remaining):
@@ -521,9 +601,14 @@ def main():
         else:
             try:
                 r = run_child(name, remaining)
+                _persist_last_good(name, r)
             except Exception as e:  # one config failing must not hide the rest
                 r = {"metric": name, "value": None, "unit": "error",
                      "vs_baseline": None, "error": repr(e)[:300]}
+        if r.get("value") is None:
+            lg = _load_last_good(name)
+            if lg:  # stale-but-labeled beats nothing (VERDICT r4 #2)
+                r["stale_last_good"] = lg
         if name == "headline":
             head = r
         else:

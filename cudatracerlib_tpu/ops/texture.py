@@ -111,7 +111,10 @@ def eval_texture(tex: schema.TextureTable, tex_id: Array, uv: Array,
             c_image = jnp.zeros_like(c_const)
             w_sum = 0.0
             for i in range(n_taps):
-                r = 2.0 * i / (n_taps - 1) - 1.0       # ellipse-normalized
+                # tap CENTERS: r=±1 endpoints get weight exactly 0 under the
+                # LUT falloff yet still pay a trilinear gather each, so place
+                # taps at cell midpoints — all n gathers carry weight
+                r = (2.0 * i + 1.0) / n_taps - 1.0     # ellipse-normalized
                 w_ = math.exp(-2.0 * r * r) - math.exp(-2.0)
                 w_sum += w_
                 c_image = c_image + w_ * tri_at(u + du * (r * 0.5),

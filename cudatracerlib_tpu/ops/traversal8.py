@@ -548,9 +548,11 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
       amortizing the lockstep worst-lane tail).
 
     with_iters=True returns (hit, lockstep iterations, 512B fat rows
-    gathered, overflow rays whose re-traversal was CLIPPED by the fallback
-    batch budget — nonzero means some hits may be treelet-pruned and the
-    budget needs raising; counted, never silent)."""
+    gathered, clipped-overflow count). The fourth field is 0 BY CONSTRUCTION
+    since round 4 (the fallback re-traverses overflow rays budgetless —
+    compacted when they fit a lane-aligned batch, masked full-batch
+    otherwise); it stays in the tuple only for interface stability across
+    the pt/bench carry signatures."""
     import jax as _jax
     from . import traversal_pl
     if geom.inst is not None:

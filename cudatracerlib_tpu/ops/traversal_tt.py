@@ -135,7 +135,14 @@ def _step_core(rt, regs, cur, t_best, any_hit, virtual=None, anyh=None):
                 jnp.sum(jnp.where(oh12, ids, 0), axis=0, keepdims=True),
                 jnp.sum(jnp.where(oh12, u, 0.0), axis=0, keepdims=True),
                 jnp.sum(jnp.where(oh12, v, 0.0), axis=0, keepdims=True))
-    return leaf_hit, hit_vals, nxt, push, push_val
+    # descend_t: entry t of the child being descended into this step (valid
+    # when is_node & has_child). The NEXT step's cur is that child, so a
+    # carried register set from this value is the precise slab-entry t of
+    # every leaf/virtual-leaf arrival (leaves are only reached by descends;
+    # pops return to parent NODES which re-test and re-descend).
+    descend_t = jnp.where(is_node & has_child, tmin_c, jnp.float32(0.0))
+    descend = is_node & has_child
+    return leaf_hit, hit_vals, nxt, push, push_val, descend_t, descend
 
 
 def _push_pop(stack, sp, cur, nxt, push, push_val):
@@ -155,13 +162,25 @@ def _push_pop(stack, sp, cur, nxt, push, push_val):
     return stack, sp, cur
 
 
-def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
-                any_hit, K, G, V, max_iters):
-    """Phase 1: top-table traversal emitting real hits + treelet visits."""
+def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, vist_ref, *, n_slabs,
+                n_top, any_hit, K, G, V, max_iters):
+    """Phase 1: top-table traversal emitting real hits + treelet visits.
+
+    Visit retention is NEAREST-V (round 5): each ray keeps the V visits with
+    the smallest slab-entry t seen so far (one-hot max-replace once full)
+    instead of the first V in traversal order, and tracks the MINIMUM entry t
+    over everything it dropped. The caller's exactness fallback then fires
+    only when that min-dropped entry is closer than the final hit — in dense
+    regions the nearest treelets contain the hit, so the fallback mass
+    collapses vs the round-4 `vcnt > V` gate (which fired on 30%+ of rays on
+    san-miguel and re-traversed them on the slow XLA loop). Matches the
+    reference's full-tree monotone-t pruning guarantee
+    (`Kernel/TraceHelper.cu:446-718`) at equal final results."""
     tb = table_ref[:]
     slabs = [tb[:, s * LANES:(s + 1) * LANES] for s in range(n_slabs)]
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
     iota_kv = jax.lax.broadcasted_iota(jnp.int32, (K * V, LANES), 0)
+    inf = jnp.float32(jnp.inf)
 
     def fetch_row(row_idx):
         ri = jnp.clip(row_idx, 0, n_top - 1)
@@ -195,22 +214,41 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
                 jnp.full((K * V, LANES), -1, jnp.int32),   # visit tids
                 jnp.zeros((1, LANES), jnp.int32),          # vcount (cur ray)
                 jnp.zeros((K, LANES), jnp.int32),          # counts out
-                anyh)
+                anyh,
+                jnp.zeros((1, LANES), jnp.float32),        # tent (entry t)
+                jnp.zeros((K * V, LANES), jnp.float32),    # visit entry ts
+                jnp.full((1, LANES), inf, jnp.float32),    # min dropped entry
+                jnp.full((K, LANES), inf, jnp.float32))    # min-drop out
 
     def tile_step(g, st):
         (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, outs,
-         vbuf, vcount, vcounts, anyh) = st
+         vbuf, vcount, vcounts, anyh, tent, tbuf, mdrop, mdrops) = st
         row_idx = jnp.where(cur >= 0, cur >> 8, -2 - cur)
         virtual = (cur <= -2) & (row_idx >= n_top)
         rt = fetch_row(row_idx)
-        leaf_hit, hv, nxt, push, push_val = _step_core(
+        leaf_hit, hv, nxt, push, push_val, desc_t, desc = _step_core(
             rt, regs, cur, t_best, any_hit, virtual=virtual, anyh=anyh)
-        # record the visit BEFORE the pop: slot kcur*V + vcount
-        oh_v = (iota_kv == kcur * V + jnp.minimum(vcount, V - 1)) & virtual \
-            & (vcount < V)
-        vbuf = jnp.where(oh_v, row_idx - n_top, vbuf)
+        # record the visit BEFORE the pop. tent carries the slab-entry t of
+        # the current row (set at the descend that reached it).
+        win = (iota_kv >= kcur * V) & (iota_kv < kcur * V + V)
+        full = vcount >= V
+        # nearest-V: once full, replace the kept visit with the LARGEST entry
+        # iff the new entry is closer; otherwise the new visit is dropped.
+        tb_m = jnp.where(win, tbuf, -inf)
+        tmax_kept = jnp.max(tb_m, axis=0, keepdims=True)
+        jmax = jnp.argmax(tb_m, axis=0)[None, :].astype(jnp.int32)
+        replace = virtual & full & (tent < tmax_kept)
+        oh_app = (iota_kv == kcur * V + jnp.minimum(vcount, V - 1)) \
+            & virtual & ~full
+        wmask = oh_app | ((iota_kv == jmax) & replace)
+        vbuf = jnp.where(wmask, row_idx - n_top, vbuf)
+        tbuf = jnp.where(wmask, tent, tbuf)
+        dropped_t = jnp.where(replace, tmax_kept, tent)
+        mdrop = jnp.where(virtual & full, jnp.minimum(mdrop, dropped_t),
+                          mdrop)
         vcount = vcount + virtual.astype(jnp.int32)
         nxt = jnp.where(virtual, jnp.int32(POP), nxt)
+        tent = jnp.where(desc, desc_t, tent)
 
         t_hit, id_hit, u_hit, v_hit = hv
         t_best = jnp.where(leaf_hit, t_hit, t_best)
@@ -227,6 +265,7 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
         out_u = jnp.where(oh_k, u_b, out_u)
         out_v = jnp.where(oh_k, v_b, out_v)
         vcounts = jnp.where(oh_k, vcount, vcounts)
+        mdrops = jnp.where(oh_k, mdrop, mdrops)
         knext = jnp.where(completed, kcur + 1, kcur)
         fetch = completed & (knext < K)
         rays_g = rays_ref[:, :, g * LANES:(g + 1) * LANES]
@@ -239,6 +278,7 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
         u_b = jnp.where(fetch, 0.0, u_b)
         v_b = jnp.where(fetch, 0.0, v_b)
         vcount = jnp.where(fetch, 0, vcount)
+        mdrop = jnp.where(fetch, inf, mdrop)
         raw_n = _i32(new[11])
         anyh = jnp.where(fetch, (raw_n < 0).astype(jnp.int32), anyh)
         cur = jnp.where(fetch,
@@ -246,7 +286,8 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
                         cur)
         sp = jnp.where(fetch, 0, sp)
         return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b,
-                (out_t, out_tri, out_u, out_v), vbuf, vcount, vcounts, anyh)
+                (out_t, out_tri, out_u, out_v), vbuf, vcount, vcounts, anyh,
+                tent, tbuf, mdrop, mdrops)
 
     def cond(state):
         it, tiles = state
@@ -272,6 +313,8 @@ def _top_kernel(table_ref, rays_ref, out_ref, vis_ref, *, n_slabs, n_top,
         out_ref[4, :, sl] = jnp.broadcast_to(it.astype(jnp.float32), (K, LANES))
         vis_ref[0:K * V, sl] = st[10]
         vis_ref[K * V:K * V + K, sl] = st[12]
+        vist_ref[0:K * V, sl] = st[15]         # per-visit slab-entry ts
+        vist_ref[K * V:K * V + K, sl] = st[17]  # per-ray min dropped entry
 
 
 def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
@@ -314,7 +357,7 @@ def _treelet_kernel(tid_ref, table_ref, rays_ref, out_ref, *, n_slabs,
          outs) = st
         row_idx = jnp.where(cur >= 0, cur >> 8, -2 - cur)
         rt = fetch_row(row_idx)
-        leaf_hit, hv, nxt, push, push_val = _step_core(
+        leaf_hit, hv, nxt, push, push_val, _, _ = _step_core(
             rt, regs, cur, t_best, any_hit, anyh=anyh)
         t_hit, id_hit, u_hit, v_hit = hv
         t_best = jnp.where(leaf_hit, t_hit, t_best)
@@ -432,11 +475,12 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     attrs = attrs.reshape(12, K, B1)
     kern1 = partial(_top_kernel, n_slabs=n_slabs_top, n_top=n_top,
                     any_hit=any_hit, K=K, G=G, V=V, max_iters=max_iters)
-    out1, vis = pl.pallas_call(
+    out1, vis, vist = pl.pallas_call(
         kern1,
         grid=(B1 // (G * LANES),),
         out_shape=(jax.ShapeDtypeStruct((5, K, B1), jnp.float32),
-                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.int32)),
+                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.int32),
+                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.float32)),
         in_specs=[
             pl.BlockSpec((128, n_top), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -444,6 +488,8 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((5, K, G * LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((K * V + K, G * LANES), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((K * V + K, G * LANES), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
@@ -454,9 +500,12 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     u0 = out1[2].reshape(Np)
     v0 = out1[3].reshape(Np)
     it1 = jnp.sum(out1[4, 0].reshape(-1, G * LANES)[:, 0])
-    # visits: vis rows [k*V + j] hold the j-th visit of slot-k rays
+    # visits: vis rows [k*V + j] hold the j-th visit of slot-k rays; the
+    # kept set is the V NEAREST by slab-entry t (see _top_kernel), with the
+    # matching entry ts in vist and the min entry over DROPPED visits after.
     vids = vis[0:K * V].reshape(K, V, B1).transpose(0, 2, 1).reshape(Np, V)
     vcnt = vis[K * V:].reshape(K, B1).reshape(Np)
+    mdrop = vist[K * V:].reshape(K, B1).reshape(Np)
     dropped = jnp.sum(jnp.maximum(vcnt - V, 0))
     if _stage == 1:   # perf-debug: phase 1 only
         return Hit(t=t0_[:N], tri=tri0[:N], u=u0[:N], v=v0[:N])
@@ -659,13 +708,25 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
               v=jnp.where(better, pick(v_v), v0)[:N])
     out = (hit,)
     if with_overflow:
+        # Exactness gate (round 5): a dropped visit can only hide a CLOSER
+        # hit if its slab-entry t is below the final best t — and the kept
+        # set is the V nearest entries, so min-dropped is the tightest such
+        # bound. Closest-hit rays whose drops all start beyond the final hit
+        # need no fallback; on san-miguel this collapses the fallback mass
+        # (round 4 fired on every vcnt>V ray: 30%+ in dense regions).
         ovf = (vcnt > V)[:N]
+        gate = (mdrop[:N] < hit.t) if not any_hit else None
         if any_hit:
             # an any-hit ray with SOME hit needs no fallback even if its
             # visit list overflowed: any hit answers the query
             ovf = ovf & ~(hit.tri >= 0)
         elif any_mask is not None:
+            # any-hit lanes: hit-found answers; no-hit overflow lanes must
+            # re-traverse (every dropped subtree could occlude).
             ovf = ovf & ~(any_mask & (hit.tri >= 0))
+            ovf = ovf & jnp.where(any_mask, True, gate)
+        else:
+            ovf = ovf & gate
         out = out + (ovf,)
     if with_iters:
         iters = it1 + it2
@@ -693,11 +754,12 @@ def count_dropped_visits(top_t: Array, n_treelets: int, rays: Rays,
     kern1 = partial(_top_kernel, n_slabs=n_top // LANES, n_top=n_top,
                     any_hit=False, K=K, G=G, V=V, max_iters=max_iters)
     interpret = jax.default_backend() == "cpu"
-    _, vis = pl.pallas_call(
+    _, vis, _ = pl.pallas_call(
         kern1,
         grid=(B1 // (G * LANES),),
         out_shape=(jax.ShapeDtypeStruct((5, K, B1), jnp.float32),
-                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.int32)),
+                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.int32),
+                   jax.ShapeDtypeStruct((K * V + K, B1), jnp.float32)),
         in_specs=[
             pl.BlockSpec((128, n_top), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -705,6 +767,8 @@ def count_dropped_visits(top_t: Array, n_treelets: int, rays: Rays,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((5, K, G * LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((K * V + K, G * LANES), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((K * V + K, G * LANES), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),

@@ -348,6 +348,9 @@ def host_meta(scene: "SceneData") -> dict:
         m = dict(
             mat_type=np.asarray(scene.materials.mat_type),
             mat_tex=np.asarray(scene.materials.tex),
+            # params[:, 32] is the alpha test mode (host.py:519) — without it
+            # scene_has_alpha misses binary-mode materials with no mask texture
+            mat_alpha_mode=np.asarray(scene.materials.params[:, 32]),
             world_lo=np.asarray(scene.world_lo),
             world_hi=np.asarray(scene.world_hi),
             light_type=np.asarray(scene.lights.light_type),
