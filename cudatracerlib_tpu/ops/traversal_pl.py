@@ -61,8 +61,12 @@ def _f32(x):
 
 
 def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
-                     any_hit, K, G, max_iters):
-    """One grid program: advance G tiles of 128 lanes, K rays each."""
+                     any_hit, K, G, max_iters, with_util=False):
+    """One grid program: advance G tiles of 128 lanes, K rays each.
+
+    with_util: also accumulate per-lane ACTIVE steps (cur != DONE) into
+    output row 5 — the lockstep-utilization diagnostic (a program runs to
+    its worst lane; active/total quantifies what lane imbalance costs)."""
     tb = table_ref[:]                      # (128, S*128)
     slabs = [tb[:, s * LANES:(s + 1) * LANES] for s in range(n_slabs)]
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
@@ -104,10 +108,13 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
                 jnp.zeros((K, LANES), jnp.float32),
                 jnp.zeros((K, LANES), jnp.float32))
         return (cur, sp, kcur, stack, tuple(first[:10]), t_best, tri, uu, vv,
-                anyh, outs)
+                anyh, outs, jnp.zeros((1, LANES), jnp.float32))
 
     def tile_step(g, st):
-        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, anyh, outs) = st
+        (cur, sp, kcur, stack, regs, t_best, tri_b, u_b, v_b, anyh, outs,
+         act) = st
+        if with_util:
+            act = act + (cur != DONE).astype(jnp.float32)
         ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn = regs
         is_node = cur >= 0
         is_leaf = cur <= -2
@@ -225,7 +232,7 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
                         cur)
         sp = jnp.where(fetch, 0, sp)
         return (cur, sp, knext, stack, regs, t_best, tri_b, u_b, v_b, anyh,
-                (out_t, out_tri, out_u, out_v))
+                (out_t, out_tri, out_u, out_v), act)
 
     def cond(state):
         it, tiles = state
@@ -251,6 +258,8 @@ def _traverse_kernel(table_ref, rays_ref, out_ref, *, n_slabs, n_rows,
         # broadcast over the block (SMEM scalar outputs aren't lowerable)
         out_ref[4, :, sl] = jnp.broadcast_to(
             it.astype(jnp.float32), (K, LANES))
+        if with_util:
+            out_ref[5, :, sl] = jnp.broadcast_to(tiles[g][11], (K, LANES))
 
 
 def prep_table(table: np.ndarray) -> np.ndarray:
@@ -270,11 +279,12 @@ def prep_table_jnp(table: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("any_hit", "K", "G", "max_iters",
-                                   "with_iters"))
+                                   "with_iters", "with_util"))
 def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
                      K: int = DEFAULT_K, G: int = DEFAULT_G,
                      max_iters: int = 4096, roots: Array = None,
-                     with_iters: bool = False, any_mask: Array = None):
+                     with_iters: bool = False, any_mask: Array = None,
+                     with_util: bool = False):
     """Traverse with the Pallas kernel. table_t must be prep_table() output.
 
     Rays are padded to a multiple of K*G*128; grid programs each own G tiles.
@@ -311,20 +321,22 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
     attrs = attrs.reshape(12, K, B)
 
     n_progs = B // (G * LANES)
+    n_out = 6 if with_util else 5
     kern = partial(_traverse_kernel, n_slabs=n_slabs, n_rows=n_rows,
-                   any_hit=any_hit, K=K, G=G, max_iters=max_iters)
+                   any_hit=any_hit, K=K, G=G, max_iters=max_iters,
+                   with_util=with_util)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         kern,
         grid=(n_progs,),
-        out_shape=jax.ShapeDtypeStruct((5, K, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, K, B), jnp.float32),
         in_specs=[
             pl.BlockSpec((128, n_rows), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((12, K, G * LANES), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((5, K, G * LANES), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((n_out, K, G * LANES), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(table_t, attrs)
@@ -340,5 +352,9 @@ def intersect_pallas(table_t: Array, rays: Rays, any_hit: bool = False,
         # program owns; rows come from the VMEM-resident table.
         its = out[4, 0].reshape(n_progs, G * LANES)[:, 0]
         it_sum = jnp.sum(its)
+        if with_util:
+            # row 5: per-lane ACTIVE steps; utilization = sum / (iters*lanes)
+            act_sum = jnp.sum(out[5, 0])
+            return hit, it_sum, it_sum * jnp.float32(G * LANES), act_sum
         return hit, it_sum, it_sum * jnp.float32(G * LANES)
     return hit

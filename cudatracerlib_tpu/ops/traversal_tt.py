@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .traversal import Hit, Rays, _safe_inv
+from ..scene.treelet import VID_ROOT_BITS as _VID_ROOT_BITS
 
 Array = jax.Array
 
@@ -47,6 +48,11 @@ DEFAULT_K2 = 2          # phase-2 block = K2*G2*128 slots; smaller blocks cut
 DEFAULT_G2 = 2          # the per-treelet round-up padding (~T*block slots)
 DEFAULT_V = 6           # treelet-visit budget per ray (overflow is counted;
 #                         rays past the budget re-traverse on the XLA path)
+import os as _os                                             # noqa: E402
+# two-round phase 2 (cross-treelet t_best): round A runs each ray's V/2
+# nearest-entry visits; round B skips visits whose slab entry can no longer
+# beat the tightened t. Env-overridable for hardware A/Bs.
+TWO_ROUND = _os.environ.get("CTL_TT_TWO_ROUND", "1") == "1"
 
 
 def _i32(x):
@@ -510,202 +516,236 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
     if _stage == 1:   # perf-debug: phase 1 only
         return Hit(t=t0_[:N], tri=tri0[:N], u=u0[:N], v=v0[:N])
 
-    # ---------------- sort visits by treelet ----------------
-    S = Np * V
+    # ---------------- phase 2 (per-round glue + kernel + reduce) ----------
     slot_v = jax.lax.broadcasted_iota(jnp.int32, (Np, V), 1)
     vid_valid = slot_v < jnp.minimum(vcnt, V)[:, None]
-    vid_c = jnp.clip(vids, 0, vid_map.shape[0] - 1)
-    # ONE multi-row lane gather: separate 1-D element gathers lower to a
-    # ~7ns/element serial path on TPU; gathering all rows of a (R, N)
-    # operand along axis 1 is ~17x faster (measured)
-    vm2 = jnp.take(vid_map.T, vid_c, axis=1)          # (2, Np, V)
-    tid_flat = jnp.where(vid_valid, vm2[0], n_tt).reshape(S)
-    root_flat = jnp.where(vid_valid, vm2[1], 0).reshape(S)
-    if _stage == 11:   # perf-debug: visits -> tid/root only
-        force = 1e-30 * (jnp.sum(tid_flat.astype(jnp.float32))
-                         + jnp.sum(root_flat.astype(jnp.float32)))
-        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-    # ONE variadic sort carries the payloads through the sort network —
-    # argsort + three 524k-element take()s cost ~4ms EACH on TPU (the
-    # 1-D element-gather serial path); the variadic sort measures 0.9 ms
-    # in-context at S=262k (looped stage decomposition,
-    # tools/microbench_tt_stages.py — docs/ROUND4_NOTES.md §8)
-    iota_s = jnp.arange(S, dtype=jnp.int32)
-    tid_sorted, root_sorted, order = jax.lax.sort(
-        (tid_flat, root_flat, iota_s), num_keys=1)
-    ray_sorted = (order // V).astype(jnp.int32)
-    if _stage == 12:   # perf-debug: + sort
-        force = 1e-30 * (jnp.sum(tid_sorted.astype(jnp.float32))
-                         + jnp.sum(root_sorted.astype(jnp.float32))
-                         + jnp.sum(ray_sorted.astype(jnp.float32)))
-        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-
+    RB = _VID_ROOT_BITS
+    RMASK = (1 << RB) - 1
+    pad_key = jnp.int32(n_tt << RB)
     block2 = K2 * G2 * LANES
-    # per-treelet segment geometry WITHOUT (S,)-sized gathers: counts come
-    # from a T-sized searchsorted, and the per-element block-padding offset
-    # is broadcast by scattering T values at segment starts + a cummax
-    # (equal-valued duplicates at empty segments make the scatter safe)
     T = n_tt + 1
-    seg_first = jnp.searchsorted(tid_sorted,
-                                 jnp.arange(T, dtype=jnp.int32),
-                                 side="left").astype(jnp.int32)
-    cnt = jnp.diff(jnp.append(seg_first, jnp.int32(S)))
-    blocks_per = -(-cnt // block2)
-    blocks_per = blocks_per.at[n_tt].set(0)
-    base_blk = jnp.cumsum(blocks_per) - blocks_per
-    n_blocks = -(-S // block2) + n_tt + 1
-    # dest of sorted element i with tid t = base_blk[t]*block2 + (i -
-    # seg_first[t]) = i + pad_tid[t]; pad_tid is constant across empty runs
-    pad_tid = base_blk * block2 - seg_first
-    pad_scat = jnp.full(S, jnp.iinfo(jnp.int32).min, jnp.int32)
-    pad_scat = pad_scat.at[jnp.minimum(seg_first, S - 1)].max(pad_tid,
-                                                              mode="drop")
-    pad_elem = jax.lax.cummax(pad_scat)
-    dest = iota_s + pad_elem
-    valid_v = tid_sorted < n_tt
-    dest = jnp.where(valid_v, dest, n_blocks * block2)
-
-    # NOTE on scatter flags: TPU scatters with arbitrary unflagged indices
-    # lower to near-serial loops (measured 100ms-scale at these sizes);
-    # `dest` is strictly increasing and unique for valid entries, so the
-    # slot scatters carry indices_are_sorted + unique_indices.
-    slot_ray = jnp.full(n_blocks * block2, -1, jnp.int32)
-    slot_ray = slot_ray.at[dest].set(ray_sorted, mode="drop",
-                                     indices_are_sorted=True,
-                                     unique_indices=True)
-    slot_root = jnp.zeros(n_blocks * block2, jnp.int32)
-    slot_root = slot_root.at[dest].set(root_sorted, mode="drop",
-                                       indices_are_sorted=True,
-                                       unique_indices=True)
-    # block -> treelet id without a scatter: block b belongs to the first
-    # treelet whose cumulative block range ends past b
-    ends = jnp.cumsum(blocks_per)
-    blk_tid = jnp.minimum(
-        jnp.searchsorted(ends, jnp.arange(n_blocks, dtype=jnp.int32),
-                         side="right"), n_tt).astype(jnp.int32)
-    # flat visit index -> its slot: UNSORT via a second variadic sort keyed
-    # by the original index (an arbitrary-index scatter would be serial)
-    _, slot_of_flat = jax.lax.sort((order, dest), num_keys=1)
-    if _stage == 13:   # perf-debug: + counts/dest/scatters
-        force = 1e-30 * (jnp.sum(slot_ray.astype(jnp.float32))
-                         + jnp.sum(slot_root.astype(jnp.float32))
-                         + jnp.sum(slot_of_flat.astype(jnp.float32))
-                         + jnp.sum(blk_tid.astype(jnp.float32)))
-        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-
-    # ---------------- phase 2: treelet blocks ----------------
-    # Gather ray attributes COMPONENT-WISE — an (n_slots, 3) intermediate is
-    # tiled (8,128) on TPU, a 42x padding blow-up that OOMs HBM — and gather
-    # DIRECTLY INTO the kernel's blocked slot order: program i's rays block
-    # covers flat slots i*block + k*(G*128) + j, so permuting the small int32
-    # index arrays first avoids a 190MB 4-D transpose of the f32 attrs
-    # (measured ~650ms when XLA fuses that transpose over gather operands).
-    B2 = n_blocks * block2 // K2
-
-    def blk_order(x):   # (n_blocks*block2,) -> (K2, B2) in kernel slot order
-        return x.reshape(n_blocks, K2, G2 * LANES).transpose(1, 0, 2) \
-                .reshape(K2, B2)
-
-    sray_b = blk_order(slot_ray)
-    rix = jnp.maximum(sray_b, 0)
-    root_b = blk_order(slot_root)
-    if _stage == 14:   # perf-debug: + blocked index permutes
-        force = 1e-30 * (jnp.sum(rix.astype(jnp.float32))
-                         + jnp.sum(root_b.astype(jnp.float32)))
-        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-    # per-RAY attr rows (11, Np) built once (cheap), then ONE axis-1 gather
-    # into the blocked slot order — separate element gathers are ~7ns/elem
-    # serial on TPU, the fused multi-row lane gather is ~17x faster
     eps = jnp.float32(1e-20)
     inv = lambda dd: 1.0 / jnp.where(jnp.abs(dd) < eps,
                                      jnp.where(dd >= 0, eps, -eps), dd)
-    dpad = rays.d
-    # phase-2 prune: each visit starts from the phase-1 best t. For ANY-HIT
-    # batches (shadow rays) a phase-1 hit fully satisfies the query — kill
-    # every visit of already-hit rays (tmax=-1 dies in one step) instead of
-    # re-confirming the hit against treelet leaves.
-    t_prune = t0_[:N]
-    if any_hit:
-        t_prune = jnp.where(tri0[:N] >= 0, jnp.float32(-1.0), t_prune)
-    elif any_mask is not None:
-        t_prune = jnp.where(any_mask & (tri0[:N] >= 0), jnp.float32(-1.0),
-                            t_prune)
-    src = jnp.concatenate([rays.o.T, rays.d.T,
-                           inv(dpad[:, 0])[None], inv(dpad[:, 1])[None],
-                           inv(dpad[:, 2])[None],
-                           rays.tmin[None], t_prune[None]], axis=0)
-    if src.shape[1] != Np:
-        src = jnp.pad(src, ((0, 0), (0, Np - src.shape[1])))
-    g = jnp.take(src, rix, axis=1)                    # (11, K, B2)
-    if _stage == 15:   # perf-debug: + the fused attr gather
-        force = 1e-30 * jnp.sum(g)
-        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-    # prune with the phase-1 result (t0_ <= tmax always)
-    stmax = jnp.where(sray_b >= 0, g[10], -1.0)
-    root_enc = root_b
+    # per-RAY attr rows WITHOUT the prune row (10, Np), built once and
+    # shared by both rounds; the round-specific prune t is appended per round
+    src_rows = jnp.concatenate(
+        [rays.o.T, rays.d.T,
+         inv(rays.d[:, 0])[None], inv(rays.d[:, 1])[None],
+         inv(rays.d[:, 2])[None], rays.tmin[None]], axis=0)
+    if src_rows.shape[1] != Np:
+        src_rows = jnp.pad(src_rows, ((0, 0), (0, Np - src_rows.shape[1])))
     if any_mask is not None:
-        # phase-2 visits of any-hit rays early-out too (sign-encoded root)
-        any_pad = jnp.pad(any_mask, (0, Np - N)) if Np > N else any_mask
-        slot_any = jnp.take(any_pad, rix) & (sray_b >= 0)
-        root_enc = jnp.where(slot_any, ~root_b, root_b)
-    attrs2 = jnp.concatenate([g[0:10], stmax[None], _f32(root_enc)[None]],
-                             axis=0)
-    if _stage == 2:   # perf-debug: phase 1 + glue, skip the treelet kernel
-        # tiny-epsilon sums keep the whole glue live against DCE
-        force = 1e-30 * (jnp.sum(attrs2) + jnp.sum(blk_tid.astype(jnp.float32))
-                         + jnp.sum(slot_of_flat.astype(jnp.float32)))
-        return Hit(t=t0_[:N] + force, tri=tri0[:N], u=u0[:N], v=v0[:N])
-    kern2 = partial(_treelet_kernel, n_slabs=t_rows // LANES,
-                    treelet_rows=t_rows, any_hit=any_hit, K=K2, G=G2,
-                    max_iters=max_iters)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 128, t_rows),
-                         lambda i, tid_ref: (tid_ref[i], 0, 0)),
-            pl.BlockSpec((12, K2, G2 * LANES),
-                         lambda i, tid_ref: (0, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((5, K2, G2 * LANES),
-                               lambda i, tid_ref: (0, 0, i)),
-    )
-    out2 = pl.pallas_call(
-        kern2,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((5, K2, B2), jnp.float32),
-        interpret=interpret,
-    )(blk_tid, slabs_t, attrs2)
-    it2 = jnp.sum(out2[4, 0].reshape(-1, G2 * LANES)[:, 0])
+        any_pad = (jnp.pad(any_mask, (0, Np - N)) if Np > N else any_mask)
 
-    # ---------------- reduce onto rays (gather-based) ----------------
-    # each ray owns <=V visits; gather their per-slot hits back through
-    # slot_of_flat and min-reduce over the V axis — no scatter-min over the
-    # slot array (TPU scatters with non-sorted indices are near-serial), and
-    # no inverse transpose of the 78MB kernel output: convert the flat slot
-    # id to its blocked position instead (index arithmetic on (Np,V) ints)
-    s_f = slot_of_flat.reshape(Np, V)
-    i_b = s_f // block2
-    r_in = s_f % block2
-    pos = (r_in // (G2 * LANES)) * B2 + i_b * (G2 * LANES) \
-        + r_in % (G2 * LANES)
-    slot_rv = jnp.minimum(pos, K2 * B2 - 1)
-    gv = jnp.take(out2[0:4].reshape(4, K2 * B2), slot_rv, axis=1)  # (4,Np,V)
-    t_v = gv[0]
-    tri_v = _i32(gv[1])
-    u_v = gv[2]
-    v_v = gv[3]
-    ok_v = vid_valid & (tri_v >= 0)
-    t_v = jnp.where(ok_v, t_v, jnp.inf)
-    jbest = jnp.argmin(t_v, axis=1)
-    ohv = jax.lax.broadcasted_iota(jnp.int32, (Np, V), 1) == jbest[:, None]
-    t_min = jnp.min(t_v, axis=1)
-    better = t_min < t0_
-    pick = lambda arr: jnp.sum(jnp.where(ohv, arr, 0), axis=1)
-    hit = Hit(t=jnp.where(better, t_min, t0_)[:N],
-              tri=jnp.where(better, pick(tri_v), tri0)[:N],
-              u=jnp.where(better, pick(u_v), u0)[:N],
-              v=jnp.where(better, pick(v_v), v0)[:N])
+    def _kill_anyhit(t_pr, tri_cur):
+        # a found hit fully satisfies an any-hit query: kill every further
+        # visit of those lanes (tmax=-1 dies in one kernel step)
+        if any_hit:
+            return jnp.where(tri_cur >= 0, jnp.float32(-1.0), t_pr)
+        if any_mask is not None:
+            ap = any_pad[:t_pr.shape[0]] if t_pr.shape[0] <= Np else any_pad
+            return jnp.where(ap & (tri_cur >= 0), jnp.float32(-1.0), t_pr)
+        return t_pr
+
+    def _run_round(vids_r, valid_r, t_prune_np, stage):
+        """One sorted phase-2 dispatch over a (Np, Vs) visit subset, pruned
+        per ray by t_prune_np (Np,). Returns (t, tri, u, v) per ray — the
+        round's best hit (inf/-1 when none) — plus kernel iterations, or a
+        (stage_force, ...) early cut for the perf-debug stages."""
+        Vs = vids_r.shape[1]
+        S = Np * Vs
+        key_flat = jnp.where(valid_r, vids_r, pad_key).reshape(S)
+        if stage == 11:   # perf-debug: visits -> packed sort keys only
+            return 1e-30 * jnp.sum(key_flat.astype(jnp.float32))
+        # ONE variadic sort carries the payload through the sort network —
+        # argsort + 524k-element take()s cost ~4ms EACH on TPU (the 1-D
+        # element-gather serial path); the variadic 3-op sort measured 0.9ms
+        # at S=262k (ROUND4_NOTES §8); the packed vid makes it a 2-op sort.
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        key_sorted, order = jax.lax.sort((key_flat, iota_s), num_keys=1)
+        tid_sorted = key_sorted >> RB
+        if stage == 12:   # perf-debug: + sort
+            return 1e-30 * (jnp.sum(key_sorted.astype(jnp.float32))
+                            + jnp.sum(order.astype(jnp.float32)))
+        # per-treelet segment geometry WITHOUT (S,)-sized gathers: counts
+        # come from a T-sized searchsorted, and the per-element block-padding
+        # offset is broadcast by scattering T values at segment starts + a
+        # cummax (equal-valued duplicates at empty segments are safe)
+        seg_first = jnp.searchsorted(tid_sorted,
+                                     jnp.arange(T, dtype=jnp.int32),
+                                     side="left").astype(jnp.int32)
+        cnt = jnp.diff(jnp.append(seg_first, jnp.int32(S)))
+        blocks_per = -(-cnt // block2)
+        blocks_per = blocks_per.at[n_tt].set(0)
+        base_blk = jnp.cumsum(blocks_per) - blocks_per
+        n_blocks = -(-S // block2) + n_tt + 1
+        n_slots = n_blocks * block2
+        # dest of sorted element i with tid t = i + pad_tid[t]
+        pad_tid = base_blk * block2 - seg_first
+        pad_scat = jnp.full(S, jnp.iinfo(jnp.int32).min, jnp.int32)
+        pad_scat = pad_scat.at[jnp.minimum(seg_first, S - 1)].max(
+            pad_tid, mode="drop")
+        pad_elem = jax.lax.cummax(pad_scat)
+        dest = jnp.where(tid_sorted < n_tt, iota_s + pad_elem, n_slots)
+        # block -> treelet id: block b belongs to the first treelet whose
+        # cumulative block range ends past b
+        ends = jnp.cumsum(blocks_per)
+        blk_tid = jnp.minimum(
+            jnp.searchsorted(ends, jnp.arange(n_blocks, dtype=jnp.int32),
+                             side="right"), n_tt).astype(jnp.int32)
+        # slot -> sorted-element SOURCE index: slot j of block b reads
+        # sorted element b*block2 + j - pad_tid[blk_tid[b]]. One (2, n_slots)
+        # GATHER replaces the two slot scatters of rounds 2-4 (gathers take
+        # the fast multi-row lane path; even flagged scatters measured
+        # ~2.4ms here). Out-of-segment slots miss the tid check and go dead;
+        # slots landing on sorted PAD entries resolve to the inert pad
+        # slab's root 0 and die in one kernel step.
+        pad_blk = jnp.take(pad_tid, blk_tid)              # (n_blocks,)
+        src_ix = (jax.lax.broadcasted_iota(jnp.int32, (n_blocks, block2), 1)
+                  + (jnp.arange(n_blocks, dtype=jnp.int32) * block2
+                     - pad_blk)[:, None]).reshape(n_slots)
+        exp_tid = jnp.broadcast_to(blk_tid[:, None],
+                                   (n_blocks, block2)).reshape(n_slots)
+        g2v = jnp.take(jnp.stack([key_sorted, order], 0),
+                       jnp.clip(src_ix, 0, S - 1), axis=1)   # (2, n_slots)
+        ok_s = (src_ix >= 0) & (src_ix < S) & ((g2v[0] >> RB) == exp_tid)
+        slot_ray = jnp.where(ok_s, g2v[1] // Vs, -1)
+        slot_root = jnp.where(ok_s, g2v[0] & RMASK, 0)
+        # flat visit index -> its slot: UNSORT via a second variadic sort
+        # keyed by the original index (an arbitrary-index scatter is serial)
+        _, slot_of_flat = jax.lax.sort((order, dest), num_keys=1)
+        if stage == 13:   # perf-debug: + counts/dest/slot gathers
+            return 1e-30 * (jnp.sum(slot_ray.astype(jnp.float32))
+                            + jnp.sum(slot_root.astype(jnp.float32))
+                            + jnp.sum(slot_of_flat.astype(jnp.float32))
+                            + jnp.sum(blk_tid.astype(jnp.float32)))
+
+        # Gather ray attributes DIRECTLY INTO the kernel's blocked slot
+        # order: program i's rays block covers flat slots i*block +
+        # k*(G*128) + j, so permuting the small int32 index arrays first
+        # avoids a 190MB 4-D transpose of the f32 attrs (measured ~650ms
+        # when XLA fuses that transpose over gather operands).
+        B2 = n_slots // K2
+
+        def blk_order(x):   # (n_slots,) -> (K2, B2) in kernel slot order
+            return x.reshape(n_blocks, K2, G2 * LANES).transpose(1, 0, 2) \
+                    .reshape(K2, B2)
+
+        sray_b = blk_order(slot_ray)
+        rix = jnp.maximum(sray_b, 0)
+        root_b = blk_order(slot_root)
+        if stage == 14:   # perf-debug: + blocked index permutes
+            return 1e-30 * (jnp.sum(rix.astype(jnp.float32))
+                            + jnp.sum(root_b.astype(jnp.float32)))
+        # ONE axis-1 multi-row gather — separate element gathers are
+        # ~7ns/elem serial on TPU, the fused lane gather is ~17x faster
+        src = jnp.concatenate([src_rows, t_prune_np[None]], axis=0)
+        g = jnp.take(src, rix, axis=1)                    # (11, K2, B2)
+        if stage == 15:   # perf-debug: + the fused attr gather
+            return 1e-30 * jnp.sum(g)
+        stmax = jnp.where(sray_b >= 0, g[10], -1.0)
+        root_enc = root_b
+        if any_mask is not None:
+            # phase-2 visits of any-hit rays early-out too (sign-encoded)
+            slot_any = jnp.take(any_pad, rix) & (sray_b >= 0)
+            root_enc = jnp.where(slot_any, ~root_b, root_b)
+        attrs2 = jnp.concatenate([g[0:10], stmax[None],
+                                  _f32(root_enc)[None]], axis=0)
+        if stage == 2:   # perf-debug: glue only, skip the treelet kernel
+            return 1e-30 * (jnp.sum(attrs2)
+                            + jnp.sum(blk_tid.astype(jnp.float32))
+                            + jnp.sum(slot_of_flat.astype(jnp.float32)))
+        kern2 = partial(_treelet_kernel, n_slabs=t_rows // LANES,
+                        treelet_rows=t_rows, any_hit=any_hit, K=K2, G=G2,
+                        max_iters=max_iters)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 128, t_rows),
+                             lambda i, tid_ref: (tid_ref[i], 0, 0)),
+                pl.BlockSpec((12, K2, G2 * LANES),
+                             lambda i, tid_ref: (0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((5, K2, G2 * LANES),
+                                   lambda i, tid_ref: (0, 0, i)),
+        )
+        out2 = pl.pallas_call(
+            kern2,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((5, K2, B2), jnp.float32),
+            interpret=interpret,
+        )(blk_tid, slabs_t, attrs2)
+        it2 = jnp.sum(out2[4, 0].reshape(-1, G2 * LANES)[:, 0])
+
+        # reduce onto rays (gather-based): each ray owns <=Vs visits; gather
+        # their per-slot hits back through slot_of_flat and min-reduce over
+        # the Vs axis — no scatter-min (non-sorted TPU scatters are
+        # near-serial), no inverse transpose of the kernel output (index
+        # arithmetic converts flat slot ids to blocked positions)
+        s_f = slot_of_flat.reshape(Np, Vs)
+        i_b = s_f // block2
+        r_in = s_f % block2
+        pos = (r_in // (G2 * LANES)) * B2 + i_b * (G2 * LANES) \
+            + r_in % (G2 * LANES)
+        slot_rv = jnp.minimum(pos, K2 * B2 - 1)
+        gv = jnp.take(out2[0:4].reshape(4, K2 * B2), slot_rv, axis=1)
+        t_v = gv[0]
+        tri_v = _i32(gv[1])
+        ok_v = valid_r & (tri_v >= 0)
+        t_v = jnp.where(ok_v, t_v, jnp.inf)
+        jbest = jnp.argmin(t_v, axis=1)
+        ohv = jax.lax.broadcasted_iota(jnp.int32, (Np, Vs), 1) \
+            == jbest[:, None]
+        pick = lambda arr: jnp.sum(jnp.where(ohv, arr, 0), axis=1)
+        return (jnp.min(t_v, axis=1), pick(tri_v), pick(gv[2]), pick(gv[3]),
+                it2)
+
+    def _merge(cur, rnd):
+        t_c, tri_c, u_c, v_c = cur
+        t_r, tri_r, u_r, v_r = rnd
+        better = t_r < t_c
+        return (jnp.where(better, t_r, t_c), jnp.where(better, tri_r, tri_c),
+                jnp.where(better, u_r, u_c), jnp.where(better, v_r, v_c))
+
+    t_prune0 = _kill_anyhit(t0_, tri0)
+    cur = (t0_, tri0, u0, v0)
+    two_round = TWO_ROUND and V >= 2 and _stage == 4
+    it2 = jnp.float32(0.0)
+    if not two_round:
+        r = _run_round(vids, vid_valid, t_prune0, _stage)
+        if not isinstance(r, tuple):   # perf-debug stage cut
+            return Hit(t=t0_[:N] + r, tri=tri0[:N], u=u0[:N], v=v0[:N])
+        cur = _merge(cur, r[:4])
+        it2 = it2 + r[4]
+    else:
+        # CROSS-TREELET t_best (round 5, VERDICT #3): process each ray's
+        # visits nearest-first in TWO sorted dispatches. Round A takes the
+        # VA nearest-entry visits; its result tightens every ray's t before
+        # round B, whose remaining visits are SKIPPED outright when their
+        # slab-entry t can no longer beat it (entry >= t_best ⇒ any hit
+        # inside is no closer — the reference's monotone-t prune,
+        # `Kernel/TraceHelper.cu:446-718`). Skipped visits sort into the
+        # pad segment: round B's block count scales with SURVIVORS only.
+        ent = vist[0:K * V].reshape(K, V, B1).transpose(0, 2, 1) \
+            .reshape(Np, V)
+        ent_m = jnp.where(vid_valid, ent, jnp.inf)
+        ent_srt, vids_srt = jax.lax.sort((ent_m, vids), num_keys=1,
+                                         dimension=1)
+        # valid entries (all finite) sort before the inf padding, so the
+        # count-based mask survives the permutation unchanged
+        valid_srt = slot_v < jnp.minimum(vcnt, V)[:, None]
+        VA = max(1, V // 2)
+        rA = _run_round(vids_srt[:, :VA], valid_srt[:, :VA], t_prune0, 4)
+        cur = _merge(cur, rA[:4])
+        it2 = it2 + rA[4]
+        t1 = _kill_anyhit(cur[0], cur[1])
+        aliveB = valid_srt[:, VA:] & (ent_srt[:, VA:] < t1[:, None])
+        rB = _run_round(vids_srt[:, VA:], aliveB, t1, 4)
+        cur = _merge(cur, rB[:4])
+        it2 = it2 + rB[4]
+    hit = Hit(t=cur[0][:N], tri=cur[1][:N], u=cur[2][:N], v=cur[3][:N])
     out = (hit,)
     if with_overflow:
         # Exactness gate (round 5): a dropped visit can only hide a CLOSER
