@@ -117,8 +117,16 @@ def _bench_pt(scene_fn, key, name, w, h, max_depth, n_passes,
     from cudatracerlib_tpu.models import path as pathmod
 
     scene = scene_fn(w, h, **scene_kw).build()
-    tr = pathmod.PathTracer(scene, w, h, max_depth=max_depth, spp_per_pass=1,
-                            chunk_size=chunk_size)
+    if os.environ.get("CTL_BENCH_WF", "0") == "1":
+        # A/B hook: the regenerating wavefront tracer (models/wavefront.py,
+        # full-occupancy lane pool) instead of the chunked PT. Same counter
+        # interface; estimator-identical on media-free scenes.
+        from cudatracerlib_tpu.models import wavefront as wfmod
+        tr = wfmod.WavefrontPT(scene, w, h, max_depth=max_depth,
+                               spp_per_pass=1, lanes=chunk_size)
+    else:
+        tr = pathmod.PathTracer(scene, w, h, max_depth=max_depth,
+                                spp_per_pass=1, chunk_size=chunk_size)
     tr.render_batched(1)  # compile + warm the fused executable (n_passes is
     #                       a traced scalar: one compile covers every batch)
     _drain(tr.film.rgb)   # drain the queue before the clock starts

@@ -87,16 +87,25 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
     else:
         up = lambda c3: c3
 
-    L = jnp.zeros((B, C or 3))
-    beta = jnp.ones((B, C or 3))
-    active = jnp.ones(B, bool)
+    # varying-typed zeros: every loop-carry constant derives from the rays so
+    # the carry types are stable under shard_map's check_vma (a fresh
+    # jnp.zeros is replicated; the bounce body's updates are device-varying,
+    # and lax.fori_loop rejects the carry-type mismatch — VERDICT r4 #7)
+    vz = jnp.where(rays.tmax > 0, 0.0, 0.0)  # (B,) varying f32 zero (exact;
+    #                                          tmax*0 would NaN on inf tmax)
+    vzb = vz != 0.0                # (B,) varying False
+    vzi = vzb.astype(jnp.int32)    # (B,) varying i32 zero
+    czero = jnp.sum(vz)            # ()  varying f32 zero (counters)
+    L = jnp.zeros((B, C or 3)) + vz[:, None]
+    beta = jnp.ones((B, C or 3)) + vz[:, None]
+    active = jnp.ones(B, bool) | vzb
     # ray-cone angular width: one pixel of the sensor (grows linearly with t;
     # widening at rough bounces lands with ray differentials)
     params = scene.sensor.params
     cone = 2.0 * jnp.tan(0.5 * params[0]) / jnp.maximum(params[5], 1.0)
-    prev_pdf = jnp.zeros(B)       # BSDF/phase pdf of the ray's generating sample
-    prev_delta = jnp.ones(B, bool)  # camera rays count as "delta" (weight 1)
-    had_smooth = jnp.zeros(B, bool)  # a non-delta bounce happened (regularization)
+    prev_pdf = vz                 # BSDF/phase pdf of the ray's generating sample
+    prev_delta = jnp.ones(B, bool) | vzb  # camera rays count as "delta" (weight 1)
+    had_smooth = vzb              # a non-delta bounce happened (regularization)
     cur = rays
     # low-discrepancy sequences for EVERY path dimension (reference
     # Sampler_device.h regenerates sequences for all requested dims): depth d
@@ -131,7 +140,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 d=jnp.concatenate([trace_rays.d, p_rays.d]),
                 tmin=jnp.concatenate([trace_rays.tmin, p_rays.tmin]),
                 tmax=jnp.concatenate([trace_rays.tmax, p_rays.tmax]))
-            amask = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)])
+            amask = jnp.concatenate([vzb, ~vzb])  # varying-typed [F]*B+[T]*B
             h2, it1, rw1, ov1 = traversal8.intersect_scene(
                 geom, comb, with_iters=True, coherent=coherent,
                 any_mask=amask)
@@ -286,7 +295,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
                 if with_media else shading.offset_ray_origin(si.p, si.ng, ed.d)
             do_shadow = nee_active & ((pdf_fwd + vm.length_sqr(f_nee)) > 0)
             shadow = traversal.Rays(
-                o=shadow_o, d=ed.d, tmin=jnp.zeros(B),
+                o=shadow_o, d=ed.d, tmin=vz,
                 tmax=jnp.where(do_shadow, ed.dist * 0.999, 0.0))
             nrays = nrays + jnp.sum(do_shadow.astype(jnp.float32))
             w_nee = jnp.where(ed.is_delta, 1.0, mis.power_heuristic(ed.pdf, pdf_fwd))
@@ -402,7 +411,7 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
 
         had_smooth2 = had_smooth | (cont & ~is_delta)
         nxt = traversal.Rays(o=new_o, d=wo_world,
-                             tmin=jnp.zeros(B), tmax=jnp.full(B, 1e30))
+                             tmin=vz, tmax=vz + 1e30)
         out = (L, jnp.where(alive[:, None], beta_next, 0.0), alive,
                next_pdf, is_delta, nxt, state, had_smooth2, nrays,
                niters, nrows, novf, ins_med, ins_mat, mono_done)
@@ -411,16 +420,16 @@ def pt_radiance(scene: schema.SceneData, rays: traversal.Rays, state: Array,
         return out
 
     carry = (L, beta, active, prev_pdf, prev_delta, cur, state, had_smooth,
-             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-             jnp.float32(0.0),
-             jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), jnp.zeros(B, bool))
+             czero, czero, czero, czero,
+             vzb, vzi, vzb)
     if merge:
         # empty pending-shadow queue: dead rays (tmax=0) with a valid dir
         dead = traversal.Rays(
-            o=jnp.zeros((B, 3)),
-            d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, 3)),
-            tmin=jnp.zeros(B), tmax=jnp.zeros(B))
-        carry = carry + (jnp.zeros((B, C or 3)), dead, jnp.zeros(B, bool))
+            o=jnp.zeros((B, 3)) + vz[:, None],
+            d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (B, 3))
+            + vz[:, None],
+            tmin=vz, tmax=vz)
+        carry = carry + (jnp.zeros((B, C or 3)) + vz[:, None], dead, vzb)
     # depth-0 peel: camera rays are the one COHERENT wavefront of the path —
     # on HBM-scale scenes they take the treelet kernel with the smaller
     # coherent visit budget (V_COHERENT); bounces use V_INCOHERENT (or the

@@ -46,9 +46,11 @@ def gen_camera_rays(scene: schema.SceneData, pixel_idx: Array, sample_idx,
     p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + jitter[:, 0],
                         py.astype(jnp.float32) + 0.5 + jitter[:, 1]], axis=-1)
     sr = sensors.sample_ray(scene.sensor, p_film, u_lens)
-    rays = traversal.Rays(o=sr.o, d=sr.d,
-                          tmin=jnp.zeros(sr.o.shape[0], jnp.float32),
-                          tmax=jnp.full(sr.o.shape[0], 1e30, jnp.float32))
+    # tmin/tmax derive from the (possibly device-varying) ray origins rather
+    # than fresh constants so downstream loop carries type consistently
+    # under shard_map's check_vma (see scene/sensors._match_vary)
+    vz = jnp.where(jnp.isfinite(sr.o[:, 0]), 0.0, 0.0)
+    rays = traversal.Rays(o=sr.o, d=sr.d, tmin=vz, tmax=vz + 1e30)
     return rays, px, py, state, sr.weight
 
 

@@ -54,7 +54,8 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
     `WavefrontPathTracer.cu:62-73`). Static any_hit must be False with it."""
     B = rays.o.shape[0]
     if roots is None:
-        roots = jnp.zeros(B, jnp.int32)
+        # varying-typed zero (check_vma; see intersect_wide_persistent)
+        roots = jnp.where(rays.tmax > 0, 0, 0).astype(jnp.int32)
     assert not (any_hit and any_mask is not None)
     inv_d = _safe_inv(rays.d)
     ox, oy, oz = rays.o[:, 0], rays.o[:, 1], rays.o[:, 2]       # (B,)
@@ -158,13 +159,17 @@ def intersect_wide(table: Array, rays: Rays, any_hit: bool = False,
     def cond(state):
         return (state[0] < max_iters) & jnp.any(state[1] != DONE)
 
+    # constants derive from the rays' varying type (check_vma; see
+    # intersect_wide_persistent)
+    izero = roots * 0
+    vzero = jnp.where(rays.tmax > 0, 0.0, 0.0)
     init = (jnp.int32(0),
             (roots << 8) | 0xFF,            # per-lane root, all children unvisited
-            jnp.zeros(B, jnp.int32),
-            tuple(jnp.zeros(B, jnp.int32) for _ in range(stack_depth)),
+            izero,
+            tuple(izero for _ in range(stack_depth)),
             rays.tmax,
-            jnp.full(B, -1, jnp.int32),
-            jnp.zeros(B), jnp.zeros(B))
+            izero - 1,
+            vzero, vzero)
     out = jax.lax.while_loop(cond, body, init)
     hit = Hit(t=out[4], tri=out[5], u=out[6], v=out[7])
     if with_iters:
@@ -202,7 +207,10 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     B = N // K
     assert not (any_hit and any_mask is not None)
     if roots is None:
-        roots = jnp.zeros(N, jnp.int32)
+        # varying-typed zero (see pt_radiance): where(pred,0,0) is exactly 0
+        # but carries the rays' device-varying type under check_vma (a
+        # `rays.tmax * 0` would NaN on inf-tmax callers)
+        roots = jnp.where(rays.tmax > 0, 0, 0).astype(jnp.int32)
     if K == 1:
         return intersect_wide(table, rays, any_hit=any_hit,
                               stack_depth=stack_depth, max_iters=max_iters,
@@ -218,7 +226,7 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     rootK = roots.reshape(K, B)
     use_mask = any_mask is not None
     anyK = (any_mask.reshape(K, B) if use_mask
-            else jnp.zeros((K, B), jnp.bool_))
+            else rootK != rootK)   # all-False, varying-typed like the rays
     n_rows = table.shape[0]
     inf = jnp.float32(jnp.inf)
     bit8 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[:, None]
@@ -360,18 +368,24 @@ def intersect_wide_persistent(table: Array, rays: Rays, rays_per_lane: int = 4,
     def cond(state):
         return (state[0] < max_iters) & jnp.any(state[2] != DONE)
 
-    zeros_f = tuple(jnp.zeros(B) for _ in range(K))
-    init = (jnp.int32(0), jnp.zeros(B, jnp.int32),
-            (rootK[0] << 8) | 0xFF, jnp.zeros(B, jnp.int32),
-            tuple(jnp.zeros(B, jnp.int32) for _ in range(stack_depth)),
+    # derive every zero/constant carry from a VARYING input so the carry
+    # types are stable under shard_map's varying-axis checker (check_vma):
+    # a fresh jnp.zeros is replicated, the body's updates are varying, and
+    # lax.while_loop rejects the type mismatch (VERDICT r4 #7)
+    vzero = jnp.where(tmaxK[0] > 0, 0.0, 0.0)  # (B,) f32 zero w/ input vma
+    izero = rootK[0] * 0                       # (B,) i32 likewise
+    zeros_f = tuple(vzero for _ in range(K))
+    init = (jnp.int32(0), izero,
+            (rootK[0] << 8) | 0xFF, izero,
+            tuple(izero for _ in range(stack_depth)),
             oK[0, :, 0], oK[0, :, 1], oK[0, :, 2],
             iK[0, :, 0], iK[0, :, 1], iK[0, :, 2],
             dK[0, :, 0], dK[0, :, 1], dK[0, :, 2],
             tminK[0], tmaxK[0],
-            jnp.full(B, -1, jnp.int32), jnp.zeros(B), jnp.zeros(B),
+            izero - 1, vzero, vzero,
             anyK[0],
-            (zeros_f, tuple(jnp.full(B, -1, jnp.int32) for _ in range(K)),
-             zeros_f, tuple(jnp.zeros(B) for _ in range(K))))
+            (zeros_f, tuple(izero - 1 for _ in range(K)),
+             zeros_f, zeros_f))
     out = jax.lax.while_loop(cond, body, init)
     out_t, out_tri, out_u, out_v = out[20]
     hit = Hit(t=jnp.stack(out_t).reshape(N),

@@ -51,8 +51,13 @@ DEFAULT_V = 6           # treelet-visit budget per ray (overflow is counted;
 import os as _os                                             # noqa: E402
 # two-round phase 2 (cross-treelet t_best): round A runs each ray's V/2
 # nearest-entry visits; round B skips visits whose slab entry can no longer
-# beat the tightened t. Env-overridable for hardware A/Bs.
-TWO_ROUND = _os.environ.get("CTL_TT_TWO_ROUND", "1") == "1"
+# beat the tightened t. Default OFF: measured e2e LOSS on san-miguel
+# (bench_out/r5_queue3.log: 0.918 Mrays/s on vs 1.097 off — the second
+# dispatch round's fixed glue exceeds the pruning win; the entry-ordered
+# nearest-V selection at phase 1 already captures most of the monotone-t
+# benefit). Kept as an exactness-tested option for scenes with deeper
+# occlusion stacks.
+TWO_ROUND = _os.environ.get("CTL_TT_TWO_ROUND", "0") == "1"
 
 
 def _i32(x):

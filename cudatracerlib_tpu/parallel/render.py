@@ -34,25 +34,88 @@ def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _film_specs(axis: str) -> filmmod.Film:
+    """Row-sharded film layout: each chip owns h/n_dev image rows of every
+    accumulation buffer; n_passes stays replicated."""
+    return filmmod.Film(rgb=P(axis), weight=P(axis), splat=P(axis),
+                        n_passes=P())
+
+
+def _local_rows(x: Array, axis: str, n_dev: int) -> Array:
+    """Slice this chip's row block out of a full-height accumulation buffer
+    (inside shard_map). Pixel-sharded passes only ever write their own rows,
+    so the slice loses nothing."""
+    hl = x.shape[0] // n_dev
+    k = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(x, k * hl, hl, 0)
+
+
+def new_splat_parts(mesh: Mesh, w: int, h: int, axis: str = "tiles") -> Array:
+    """Per-chip full-film splat accumulators, (n_dev, h, w, 3) sharded on the
+    leading axis. Splats (light tracing, BDPT t=1) can land on ANY pixel, so
+    they cannot ride the row-sharded film; each chip instead accumulates into
+    its own slice across passes with zero collectives, and `fold_splat_parts`
+    reduces ONCE per develop/checkpoint (VERDICT r4 #7: the per-pass
+    full-film psum was the dominant ICI traffic at 1080p x hundreds of
+    passes)."""
+    from jax.sharding import NamedSharding
+    n = mesh.shape[axis]
+    return jax.device_put(jnp.zeros((n, h, w, 3), jnp.float32),
+                          NamedSharding(mesh, P(axis)))
+
+
+def fold_splat_parts(film: filmmod.Film, parts: Array) -> filmmod.Film:
+    """The once-per-develop cross-chip reduce of the splat-parts layout."""
+    return film._replace(splat=film.splat + jnp.sum(parts, axis=0))
+
+
 def sharded_pt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx: Array,
                     mesh: Mesh, w: int, h: int, max_depth: int = 6,
                     spp: int = 1, active_types: Sequence[int] = None,
-                    axis: str = "tiles") -> filmmod.Film:
+                    axis: str = "tiles",
+                    reduce_film: bool | None = None) -> filmmod.Film:
     """One progressive PT pass with pixels sharded over the mesh.
 
-    Every device traces w*h/n_dev pixels; partial films are psum'd so the
-    returned film is replicated (identical) on all devices.
-    """
+    Default layout (reduce_film=None/False): the film is ROW-SHARDED over the
+    mesh and every chip accumulates only its own pixel rows — ZERO collectives
+    per pass (VERDICT r4 #7; the returned Film is numerically identical to the
+    replicated layout, only the placement differs). reduce_film=True restores
+    the legacy replicated film with a per-pass psum (used when h doesn't
+    divide the mesh)."""
     if active_types is None:
         active_types = pathmod.scene_active_types(scene)
     n_dev = mesh.shape[axis]
     assert (w * h) % n_dev == 0, "pixel count must divide the mesh"
+    if reduce_film is None:
+        reduce_film = (h % n_dev) != 0
 
-    # check_vma off: sensor-model lax.switch branches mix replicated and
-    # sharded-varying outputs, which the varying-axis checker rejects
+    if reduce_film:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(axis), P()),
+                 out_specs=P(), check_vma=True)
+        def run_rep(scene, film, pixel_idx, pass_idx):
+            partial_film = filmmod.new_film(w, h)
+            for s_i in range(spp):
+                rays, px, py, state, wt = tracer.gen_camera_rays(
+                    scene, pixel_idx, pass_idx * spp + s_i, pass_idx, w, h)
+                L, state = pathmod.pt_radiance(
+                    scene, rays, state, max_depth,
+                    active_types=tuple(active_types))
+                partial_film = filmmod.add_samples(partial_film, px, py,
+                                                   L * wt)
+            rgb = jax.lax.psum(partial_film.rgb, axis)
+            weight = jax.lax.psum(partial_film.weight, axis)
+            return film._replace(rgb=film.rgb + rgb,
+                                 weight=film.weight + weight)
+
+        pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+        return jax.jit(run_rep)(scene, film, pixel_idx, jnp.int32(pass_idx))
+
+    fspec = _film_specs(axis)
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis), P()),
-             out_specs=P(), check_vma=False)
+             in_specs=(P(), fspec, P(axis), P()),
+             out_specs=fspec, check_vma=True)
     def run(scene, film, pixel_idx, pass_idx):
         partial_film = filmmod.new_film(w, h)
         for s_i in range(spp):
@@ -61,11 +124,9 @@ def sharded_pt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx: Array
             L, state = pathmod.pt_radiance(scene, rays, state, max_depth,
                                            active_types=tuple(active_types))
             partial_film = filmmod.add_samples(partial_film, px, py, L * wt)
-        rgb = jax.lax.psum(partial_film.rgb, axis)
-        weight = jax.lax.psum(partial_film.weight, axis)
-        splat = jax.lax.psum(partial_film.splat, axis)
-        return film._replace(rgb=film.rgb + rgb, weight=film.weight + weight,
-                             splat=film.splat + splat)
+        loc = lambda x: _local_rows(x, axis, n_dev)  # noqa: E731
+        return film._replace(rgb=film.rgb + loc(partial_film.rgb),
+                             weight=film.weight + loc(partial_film.weight))
 
     pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
     return jax.jit(run)(scene, film, pixel_idx, jnp.int32(pass_idx))
@@ -74,16 +135,35 @@ def sharded_pt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx: Array
 def sharded_lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                     mesh: Mesh, w: int, h: int, max_depth: int = 8,
                     n_paths: int = None, active_types: Sequence[int] = None,
-                    axis: str = "tiles") -> filmmod.Film:
+                    axis: str = "tiles", splat_parts: Array = None):
     """One light-tracing pass with LIGHT PATHS sharded over the mesh: each
-    chip walks its own path-id range and splats into a local film; the splat
-    buffers are psum'd over ICI (SURVEY §5: splat-film psum for LT)."""
+    chip walks its own path-id range and splats into a local film.
+
+    With splat_parts (from `new_splat_parts`): each chip accumulates into its
+    own full-film slice — ZERO collectives per pass — and the caller reduces
+    once per develop with `fold_splat_parts` (VERDICT r4 #7). Returns the
+    updated parts. Without: legacy per-pass psum'd replicated film."""
     from ..models import lighttracer as ltmod
     if active_types is None:
         active_types = pathmod.scene_active_types(scene)
     n_paths = n_paths or (w * h)
     n_dev = mesh.shape[axis]
     assert n_paths % n_dev == 0
+
+    if splat_parts is not None:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(axis), P(axis), P()),
+                 out_specs=P(axis), check_vma=False)
+        def run_parts(scene, parts, path_ids, pass_idx):
+            local = ltmod.lt_pass(scene, filmmod.new_film(w, h), pass_idx,
+                                  n_paths=n_paths, max_depth=max_depth,
+                                  active_types=tuple(active_types),
+                                  path_ids=path_ids, total_paths=n_paths)
+            return parts + local.splat[None]
+
+        path_ids = jnp.arange(n_paths, dtype=jnp.int32)
+        return jax.jit(run_parts)(scene, splat_parts, path_ids,
+                                  jnp.int32(pass_idx))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis), P()),
@@ -104,17 +184,42 @@ def sharded_lt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
 def sharded_bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                       mesh: Mesh, w: int, h: int, max_depth: int = 6,
                       active_types: Sequence[int] = None,
-                      axis: str = "tiles") -> filmmod.Film:
+                      axis: str = "tiles", splat_parts: Array = None):
     """One BDPT pass with pixels (and their paired light sub-paths) sharded
-    over the mesh (SURVEY §5: splat-film psum for BDPT): each chip runs the
-    full bidirectional pass on its pixel shard — the t=1 light-tracing
-    strategies splat anywhere on the film, so rgb/weight AND splat buffers
-    are psum'd; total_paths keeps the splat normalization global."""
+    over the mesh: each chip runs the full bidirectional pass on its pixel
+    shard; total_paths keeps the t=1 splat normalization global.
+
+    With splat_parts: rgb/weight accumulate into the ROW-SHARDED film (the
+    s>=2 strategies only write a pixel's own row) and the anywhere-on-film
+    t=1 splats accumulate into this chip's parts slice — zero collectives
+    per pass; returns (film, parts) and the caller folds at develop
+    (VERDICT r4 #7). Without: legacy per-pass triple psum."""
     from ..models import bdpt as bdptmod
     if active_types is None:
         active_types = pathmod.scene_active_types(scene)
     n_dev = mesh.shape[axis]
     assert (w * h) % n_dev == 0
+
+    if splat_parts is not None:
+        assert h % n_dev == 0, "row-sharded film needs h % n_dev == 0"
+        fspec = _film_specs(axis)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), fspec, P(axis), P(axis), P()),
+                 out_specs=(fspec, P(axis)), check_vma=False)
+        def run_parts(scene, film, parts, pixel_idx, pass_idx):
+            local, _ = bdptmod.bdpt_pass(
+                scene, filmmod.new_film(w, h), pass_idx, w=w, h=h,
+                max_depth=max_depth, active_types=tuple(active_types),
+                pixel_idx=pixel_idx, total_paths=w * h)
+            loc = lambda x: _local_rows(x, axis, n_dev)  # noqa: E731
+            film = film._replace(rgb=film.rgb + loc(local.rgb),
+                                 weight=film.weight + loc(local.weight))
+            return film, parts + local.splat[None]
+
+        pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+        return jax.jit(run_parts)(scene, film, splat_parts, pixel_idx,
+                                  jnp.int32(pass_idx))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis), P()),
@@ -136,17 +241,42 @@ def sharded_bdpt_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
 def sharded_vcm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
                      mesh: Mesh, w: int, h: int, radius,
                      max_depth: int = 6, active_types: Sequence[int] = None,
-                     axis: str = "tiles") -> filmmod.Film:
+                     axis: str = "tiles", splat_parts: Array = None):
     """One vertex-connection-and-merging pass over the mesh: pixels and their
     paired light sub-paths are sharded; each chip's photon rows are
     all_gather'ed over ICI so every chip merges against the FULL photon map
     (the sort-based grid is rebuilt per chip, like PPM); eta_vcm and the t=1
-    splat normalization stay global via total_paths; rgb/weight/splat psum'd."""
+    splat normalization stay global via total_paths. With splat_parts the
+    film is row-sharded and splats accumulate per chip (fold at develop;
+    the photon all_gather is then the only per-pass collective); without,
+    rgb/weight/splat are psum'd per pass."""
     from ..models import vcm as vcmmod
     if active_types is None:
         active_types = pathmod.scene_active_types(scene)
     n_dev = mesh.shape[axis]
     assert (w * h) % n_dev == 0
+
+    if splat_parts is not None:
+        assert h % n_dev == 0, "row-sharded film needs h % n_dev == 0"
+        fspec = _film_specs(axis)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), fspec, P(axis), P(axis), P(), P()),
+                 out_specs=(fspec, P(axis)), check_vma=False)
+        def run_parts(scene, film, parts, pixel_idx, pass_idx, r):
+            local = vcmmod.vcm_pass(
+                scene, filmmod.new_film(w, h), pass_idx, w=w, h=h,
+                max_depth=max_depth, active_types=tuple(active_types),
+                radius=r, pixel_idx=pixel_idx, total_paths=w * h,
+                photon_gather_axis=axis)
+            loc = lambda x: _local_rows(x, axis, n_dev)  # noqa: E731
+            film = film._replace(rgb=film.rgb + loc(local.rgb),
+                                 weight=film.weight + loc(local.weight))
+            return film, parts + local.splat[None]
+
+        pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+        return jax.jit(run_parts)(scene, film, splat_parts, pixel_idx,
+                                  jnp.int32(pass_idx), jnp.float32(radius))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis), P(), P()),
@@ -202,12 +332,18 @@ def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
     adaptive = ppm_state is not None
     collect_beams = with_volume and vol_est == ve.VOL_BEAMBEAM
 
+    # row-sharded film (VERDICT r4 #7): the PPM eye pass only writes a
+    # pixel's own row (no splats — grep'd), so each chip accumulates its row
+    # block locally and the per-pass film psum disappears; the photon
+    # all_gather is the only remaining per-pass collective.
+    row_sharded = h % n_dev == 0
+    fspec = _film_specs(axis) if row_sharded else P()
     state_specs = (ppmmod.PixelStats(r2=P(axis), n=P(axis), tau=P(axis)),) \
         if adaptive else ()
-    out_specs = (P(), P(axis)) if adaptive else P()
+    out_specs = (fspec, P(axis)) if adaptive else fspec
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis), P(axis), P(), P()) + state_specs,
+             in_specs=(P(), fspec, P(axis), P(axis), P(), P()) + state_specs,
              out_specs=out_specs, check_vma=False)
     def run(scene, film, photon_ids, pixel_idx, pass_idx, r, *st):
         traced = ppmmod.trace_photons(
@@ -269,10 +405,15 @@ def sharded_ppm_pass(scene: schema.SceneData, film: filmmod.Film, pass_idx,
             ppm_state=st[0] if adaptive else None, alpha=alpha,
             final_gather=final_gather, pixel_idx=pixel_idx)
         local, new_state = out if adaptive else (out, None)
-        out_film = film._replace(
-            rgb=film.rgb + jax.lax.psum(local.rgb, axis),
-            weight=film.weight + jax.lax.psum(local.weight, axis),
-            splat=film.splat + jax.lax.psum(local.splat, axis))
+        if row_sharded:
+            loc = lambda x: _local_rows(x, axis, n_dev)  # noqa: E731
+            out_film = film._replace(
+                rgb=film.rgb + loc(local.rgb),
+                weight=film.weight + loc(local.weight))
+        else:
+            out_film = film._replace(
+                rgb=film.rgb + jax.lax.psum(local.rgb, axis),
+                weight=film.weight + jax.lax.psum(local.weight, axis))
         return (out_film, new_state) if adaptive else out_film
 
     photon_ids = jnp.arange(n_photons, dtype=jnp.int32)
@@ -313,33 +454,61 @@ def _define_sharded_tracers():
     from ..models import vcm as vcmmod
 
     class _ShardedBDPT(bdptmod.BDPT):
-        """BDPT whose passes run SPMD over a device mesh (sharded_bdpt_pass)."""
+        """BDPT whose passes run SPMD over a device mesh: row-sharded
+        rgb/weight + per-chip splat parts, folded once per develop
+        (VERDICT r4 #7). Falls back to per-pass psum when the image height
+        doesn't divide the mesh."""
 
         def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
             self.mesh = mesh or make_mesh()
             super().__init__(replicate_scene(scene, self.mesh),
                              width, height, **kw)
+            self._splat_parts = (new_splat_parts(self.mesh, width, height)
+                                 if height % self.mesh.shape["tiles"] == 0
+                                 else None)
 
         def render_pass(self, scene, film, pass_idx):
-            return sharded_bdpt_pass(scene, film, pass_idx, self.mesh,
-                                     self.width, self.height,
-                                     max_depth=self.max_depth,
-                                     active_types=self.active_types)
+            out = sharded_bdpt_pass(scene, film, pass_idx, self.mesh,
+                                    self.width, self.height,
+                                    max_depth=self.max_depth,
+                                    active_types=self.active_types,
+                                    splat_parts=self._splat_parts)
+            if self._splat_parts is not None:
+                film, self._splat_parts = out
+                return film
+            return out
+
+        def develop(self):
+            film = self.film
+            if self._splat_parts is not None:
+                film = fold_splat_parts(film, self._splat_parts)
+            from ..models import film as _fm
+            return _fm.develop(film)
 
     class _ShardedLightTracer(ltmod.LightTracer):
-        """LightTracer with light paths sharded over a mesh (splat psum)."""
+        """LightTracer with light paths sharded over a mesh: per-chip splat
+        parts accumulated across passes, reduced once per develop
+        (VERDICT r4 #7; was a full-film psum per pass)."""
 
         def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
             self.mesh = mesh or make_mesh()
             super().__init__(replicate_scene(scene, self.mesh),
                              width, height, **kw)
+            self._splat_parts = new_splat_parts(self.mesh, width, height)
 
         def render_pass(self, scene, film, pass_idx):
-            return sharded_lt_pass(scene, film, pass_idx, self.mesh,
-                                   self.width, self.height,
-                                   max_depth=self.max_depth,
-                                   n_paths=self.n_paths,
-                                   active_types=self.active_types)
+            self._splat_parts = sharded_lt_pass(
+                scene, film, pass_idx, self.mesh, self.width, self.height,
+                max_depth=self.max_depth, n_paths=self.n_paths,
+                active_types=self.active_types,
+                splat_parts=self._splat_parts)
+            import jax.numpy as _jnp
+            return film._replace(weight=_jnp.ones_like(film.weight))
+
+        def develop(self):
+            from ..models import film as _fm
+            return _fm.develop(fold_splat_parts(self.film,
+                                                self._splat_parts))
 
     class _ShardedPPMTracer(ppmmod.PPMTracer):
         """PPM over a device mesh: photon shards all_gather'ed, pixels (and
@@ -377,20 +546,37 @@ def _define_sharded_tracers():
             return film
 
     class _ShardedVCM(vcmmod.VCM):
-        """VCM with pixels sharded and the photon map all_gather'ed."""
+        """VCM with pixels sharded and the photon map all_gather'ed;
+        row-sharded film + splat parts folded at develop when the height
+        divides the mesh."""
 
         def __init__(self, scene, width, height, mesh: Mesh = None, **kw):
             self.mesh = mesh or make_mesh()
             super().__init__(replicate_scene(scene, self.mesh),
                              width, height, **kw)
+            self._splat_parts = (new_splat_parts(self.mesh, width, height)
+                                 if height % self.mesh.shape["tiles"] == 0
+                                 else None)
 
         def render_pass(self, scene, film, pass_idx):
             i = max(self.pass_idx + 1, 1)
             radius = self.initial_radius * (i ** ((self.alpha - 1.0) / 2.0))
-            return sharded_vcm_pass(scene, film, pass_idx, self.mesh,
-                                    self.width, self.height, radius=radius,
-                                    max_depth=self.max_depth,
-                                    active_types=self.active_types)
+            out = sharded_vcm_pass(scene, film, pass_idx, self.mesh,
+                                   self.width, self.height, radius=radius,
+                                   max_depth=self.max_depth,
+                                   active_types=self.active_types,
+                                   splat_parts=self._splat_parts)
+            if self._splat_parts is not None:
+                film, self._splat_parts = out
+                return film
+            return out
+
+        def develop(self):
+            film = self.film
+            if self._splat_parts is not None:
+                film = fold_splat_parts(film, self._splat_parts)
+            from ..models import film as _fm
+            return _fm.develop(film)
 
     return (_ShardedBDPT, _ShardedLightTracer, _ShardedPPMTracer, _ShardedVCM)
 

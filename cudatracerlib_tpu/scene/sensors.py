@@ -32,6 +32,26 @@ class SensorRays(NamedTuple):
     weight: Array  # (B, 3) importance weight (1 for ideal sensors)
 
 
+def _match_vary(fn, vary: Array):
+    """Make every float output of a switch branch data-depend on the per-lane
+    inputs. Under `shard_map(..., check_vma=True)` the varying-axis checker
+    types each `lax.switch` branch separately: a branch that builds an output
+    purely from REPLICATED sensor params (e.g. the broadcast pinhole origin,
+    or ortho's constant axis direction) types as replicated while another
+    branch's same output types as device-varying, and the switch is rejected.
+    Adding a varying zero (+0.0 is exact for all finite floats and fuses
+    away) unifies the types without a collective."""
+    B = vary.shape[0]
+
+    def g(op):
+        def fix(x):
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                return x
+            return x + vary.reshape((B,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        return jax.tree_util.tree_map(fix, fn(op))
+    return g
+
+
 def _film_to_camera_dir(params: Array, p_film: Array) -> Array:
     """Pixel coords (B,2) -> unnormalized camera-space direction (perspective)."""
     w, h = params[5], params[6]
@@ -101,8 +121,11 @@ def sample_ray(sensor: schema.SensorData, p_film: Array, u_aperture: Array) -> S
         d = vm.normalize(vm.transform_vector(t2w, d_cam))
         return SensorRays(o, d, one)
 
-    return jax.lax.switch(sensor.sensor_type,
-                          [spherical, persp, thinlens, ortho, telecentric], None)
+    vary = 0.0 * (p_film[..., 0] + u_aperture[..., 0])
+    return jax.lax.switch(
+        sensor.sensor_type,
+        [_match_vary(f, vary)
+         for f in (spherical, persp, thinlens, ortho, telecentric)], None)
 
 
 class SensorDirect(NamedTuple):
@@ -221,8 +244,11 @@ def sample_direct(sensor: schema.SensorData, ref_p: Array, u: Array) -> SensorDi
         return SensorDirect(p_film=jnp.stack([px, py], -1), d=d, dist=dist,
                             weight=jnp.repeat(we[..., None], 3, -1), valid=valid)
 
-    return jax.lax.switch(sensor.sensor_type,
-                          [spherical, persp, persp, ortho, telecentric], None)
+    vary = 0.0 * (ref_p[..., 0] + u[..., 0])
+    return jax.lax.switch(
+        sensor.sensor_type,
+        [_match_vary(f, vary)
+         for f in (spherical, persp, persp, ortho, telecentric)], None)
 
 
 def make_sensor(sensor_type: int, to_world, fov_x_deg: float = 35.0,
