@@ -437,6 +437,13 @@ V_INCOHERENT = int(_os.environ.get("CTL_V_INCOHERENT", "4"))
 # flip via CTL_SORT_INCOHERENT=1.
 SORT_INCOHERENT = _os.environ.get("CTL_SORT_INCOHERENT", "0") == "1"
 
+# shared-pool VMEM Pallas kernel (traversal_pl.intersect_pallas_pool): lanes
+# grab the next unstarted ray from the tile's K*128-ray queue instead of
+# owning a fixed K-ray column — the Aila-Laine global work fetch rebuilt
+# with lane prefix-sums. Attacks the measured 0.23-0.40 bounce/shadow
+# lockstep utilization (bench_out/r5_util.log). A/B via CTL_PL_POOL.
+PL_POOL = _os.environ.get("CTL_PL_POOL", "0") == "1"
+
 
 SORT_IMPL = _os.environ.get("CTL_SORT_IMPL", "lax")
 
@@ -582,6 +589,10 @@ def intersect_scene(geom, rays: Rays, any_hit: bool = False,
         if SORT_INCOHERENT and not coherent:
             res = _pallas_sorted(table_t, rays, any_hit, roots, with_iters,
                                  any_mask)
+        elif PL_POOL:
+            res = traversal_pl.intersect_pallas_pool(
+                table_t, rays, any_hit=any_hit, roots=roots,
+                with_iters=with_iters, any_mask=any_mask)
         else:
             res = traversal_pl.intersect_pallas(table_t, rays,
                                                 any_hit=any_hit, roots=roots,
