@@ -227,6 +227,8 @@ def build_beam_cells(beams: Array, valid: Array, radius, lo: Array, hi: Array,
     cid_flat = cid_final.reshape(-1)
     order = jnp.argsort(cid_flat)
     dataR = jnp.repeat(beams, S * 8, axis=0)
-    return hashgrid.HashGrid(data=jnp.take(dataR, order, axis=0),
+    sorted_rows = jnp.take(dataR, order, axis=0)
+    return hashgrid.HashGrid(data=sorted_rows,
                              cell_ids=jnp.take(cid_flat, order),
-                             lo=lo, inv_cell=inv_cell, dims=dims)
+                             lo=lo, inv_cell=inv_cell, dims=dims,
+                             data_t=sorted_rows.T)

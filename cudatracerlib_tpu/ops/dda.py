@@ -78,7 +78,7 @@ def gather_cell(grid: hashgrid.HashGrid, flat_cell: Array, accum_fn, carry,
     n = grid.data.shape[0]
     k = jnp.arange(max_per_cell, dtype=jnp.int32)
     idx = jnp.minimum(start[:, None] + k[None, :], n - 1)
-    rows = jnp.take(grid.data, idx, axis=0)              # (B, K, W)
+    rows = hashgrid._gather_rows(grid, idx)              # (B, K, W)
     return accum_fn(carry, rows, k[None, :] < count[:, None])
 
 
@@ -114,6 +114,8 @@ def build_ball_grid(data: Array, positions: Array, valid: Array, radius,
     cid_flat = cid.reshape(-1)
     order = jnp.argsort(cid_flat)
     data8 = jnp.repeat(data, 8, axis=0)
-    return hashgrid.HashGrid(data=jnp.take(data8, order, axis=0),
+    sorted_rows = jnp.take(data8, order, axis=0)
+    return hashgrid.HashGrid(data=sorted_rows,
                              cell_ids=jnp.take(cid_flat, order),
-                             lo=lo, inv_cell=inv_cell, dims=dims)
+                             lo=lo, inv_cell=inv_cell, dims=dims,
+                             data_t=sorted_rows.T)

@@ -23,6 +23,11 @@ class HashGrid(NamedTuple):
     lo: Array          # (3,) grid origin
     inv_cell: Array    # () 1/cell_size
     dims: Array        # (3,) i32 grid resolution
+    data_t: Array = None   # (K, N) MATERIALIZED transpose: queries gather
+    #                        along axis 1 (the multi-row lane-gather fast
+    #                        path, ~17x the per-row axis-0 gather — the PPM
+    #                        eye pass was 51 s/pass through the slow path,
+    #                        bench_out/r5_queue6.log)
 
 
 def cell_of(grid: HashGrid, p: Array) -> Array:
@@ -45,9 +50,11 @@ def build_grid(data: Array, positions: Array, valid: Array, lo: Array,
     g = HashGrid(data=data, cell_ids=None, lo=lo, inv_cell=inv_cell, dims=dims)
     cid = jnp.where(valid, cell_of(g, positions), jnp.int32(0x7FFFFFFF))
     order = jnp.argsort(cid)
-    return HashGrid(data=jnp.take(data, order, axis=0),
+    sorted_rows = jnp.take(data, order, axis=0)
+    return HashGrid(data=sorted_rows,
                     cell_ids=jnp.take(cid, order),
-                    lo=lo, inv_cell=inv_cell, dims=dims)
+                    lo=lo, inv_cell=inv_cell, dims=dims,
+                    data_t=sorted_rows.T)
 
 
 def query_ranges(grid: HashGrid, cells: Array):
@@ -69,6 +76,19 @@ def neighbor_cells(grid: HashGrid, p: Array, radius: Array) -> Array:
     return (c[..., 2] * grid.dims[1] + c[..., 1]) * grid.dims[0] + c[..., 0]
 
 
+def _gather_rows(grid: HashGrid, idx: Array) -> Array:
+    """Fetch photon rows by index, shape-preserving: idx (...,) -> (..., W).
+
+    Goes through the materialized (W, N) transpose when present: one axis-1
+    multi-row lane gather + a result transpose (fused into consumers)
+    instead of a per-row axis-0 gather, which TPU lowers to a ~7 ns/element
+    serial path."""
+    if grid.data_t is None:
+        return jnp.take(grid.data, idx, axis=0)
+    flat = jnp.take(grid.data_t, idx.reshape(-1), axis=1)   # (W, prod)
+    return jnp.moveaxis(flat.reshape((-1,) + idx.shape), 0, -1)
+
+
 def gather_neighbors(grid: HashGrid, p: Array, radius: Array,
                      accum_fn, init, max_per_cell: int = 16):
     """Gather photons within `radius` of each query point.
@@ -85,7 +105,7 @@ def gather_neighbors(grid: HashGrid, p: Array, radius: Array,
     count = count.reshape(B, 8)
     k = jnp.arange(max_per_cell, dtype=jnp.int32)
     idx = jnp.minimum(start[:, :, None] + k[None, None, :], n - 1)
-    rows = jnp.take(grid.data, idx.reshape(B, 8 * max_per_cell), axis=0)
+    rows = _gather_rows(grid, idx.reshape(B, 8 * max_per_cell))
     in_rng = (k[None, None, :] < count[:, :, None]).reshape(B, -1)
     d2 = jnp.sum((rows[..., 0:3] - p[:, None, :]) ** 2, axis=-1)
     mask = in_rng & (d2 <= (radius * radius)[:, None])
