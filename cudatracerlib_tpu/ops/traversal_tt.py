@@ -58,6 +58,9 @@ import os as _os                                             # noqa: E402
 # benefit). Kept as an exactness-tested option for scenes with deeper
 # occlusion stacks.
 TWO_ROUND = _os.environ.get("CTL_TT_TWO_ROUND", "0") == "1"
+# inverse-permutation implementation for the phase-2 slot map ("scatter" =
+# flagged unique-index scatter, "sort" = second variadic sort)
+UNSORT_IMPL = _os.environ.get("CTL_TT_UNSORT", "scatter")
 
 
 def _i32(x):
@@ -617,9 +620,16 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         ok_s = (src_ix >= 0) & (src_ix < S) & ((g2v[0] >> RB) == exp_tid)
         slot_ray = jnp.where(ok_s, g2v[1] // Vs, -1)
         slot_root = jnp.where(ok_s, g2v[0] & RMASK, 0)
-        # flat visit index -> its slot: UNSORT via a second variadic sort
-        # keyed by the original index (an arbitrary-index scatter is serial)
-        _, slot_of_flat = jax.lax.sort((order, dest), num_keys=1)
+        # flat visit index -> its slot (the inverse permutation). Two
+        # implementations, A/B via CTL_TT_UNSORT (r5 stage decomposition:
+        # the second variadic sort made the dest stage +8.8 ms/call at 262k
+        # visits — bench_out/r5_queue5.log — while a flagged unique-index
+        # scatter was measured ~2.4 ms on the same shapes in r4):
+        if UNSORT_IMPL == "sort":
+            _, slot_of_flat = jax.lax.sort((order, dest), num_keys=1)
+        else:
+            slot_of_flat = jnp.zeros(S, jnp.int32).at[order].set(
+                dest, unique_indices=True)
         if stage == 13:   # perf-debug: + counts/dest/slot gathers
             return 1e-30 * (jnp.sum(slot_ray.astype(jnp.float32))
                             + jnp.sum(slot_root.astype(jnp.float32))
