@@ -103,3 +103,27 @@ def test_alias_table_matches_pmf():
     pick = np.where(u[:, 1] < t[slot, 0], slot, alias[slot])
     freq = np.bincount(pick, minlength=n) / u.shape[0]
     assert np.abs(freq - pmf).max() < 0.004
+
+
+def test_overlay_drawer_projects_and_draws():
+    """IDebugDrawer parity (PixelDebugVisualizer.h:15-50): world-space
+    lines/frames/ellipses rasterize onto the image through the sensor."""
+    import numpy as np
+    from cudatracerlib_tpu.utils import debug_viz, example_scenes
+
+    sc = example_scenes.cornell_box(64, 64, spheres=False)
+    sensor = sc._sensor
+    img = np.zeros((64, 64, 3), np.float32)
+    dr = debug_viz.OverlayDrawer(img, sensor)
+    # the look-at target (origin) projects to the image center
+    pr, ok = dr.project(np.zeros((1, 3)))
+    assert ok.all()
+    assert abs(pr[0, 0] - 32) < 1.5 and abs(pr[0, 1] - 32) < 1.5
+    # a point behind the camera is rejected
+    _, ok2 = dr.project(np.array([[0.0, 0.0, -10.0]]))
+    assert not ok2.any()
+    dr.draw_line([-0.5, 0.0, 0.0], [0.5, 0.0, 0.0], color=(1, 0, 0))
+    dr.draw_frame([0.0, -1.0, 0.0], [0.0, 1.0, 0.0], scale=0.3)
+    dr.draw_ellipse([0.0, 0.0, 0.0], [0.3, 0, 0], [0, 0.3, 0])
+    assert (dr.img.sum(-1) > 0).sum() > 50    # plenty of pixels touched
+    assert img.sum() == 0.0                   # original untouched
