@@ -589,8 +589,12 @@ def main():
         p = subprocess.run([sys.executable, __file__, name],
                            capture_output=True, text=True,
                            timeout=min(remaining, 1200))
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not lines:  # crash: surface WHY (stderr tail), not an IndexError
+            raise RuntimeError(
+                f"child rc={p.returncode} no JSON; stderr tail: "
+                + " | ".join(p.stderr.splitlines()[-4:]))
+        return json.loads(lines[-1])
 
     # each config runs in its own process: one config's readbacks/state must
     # not affect the next (axon tunnel dispatch-mode quirks). BASELINE.md

@@ -30,14 +30,23 @@ from cudatracerlib_tpu.utils import example_scenes     # noqa: E402
 REPS = 3
 
 
+def _drain(out):
+    """End the window at a REAL device->host readback: the axon tunnel's
+    block_until_ready returns before execution completes (bench.py
+    docstring), which made the first run of this profiler read 0.000s for
+    every stage."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timeit(label, fn):
     out = fn()
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    _drain(out)
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        _drain(out)
         ts.append(time.perf_counter() - t0)
     med = statistics.median(ts)
     print(f"{label:8s} {med:8.3f}s  spread="

@@ -5,9 +5,13 @@ the 1.2M-tri pass time go? (end-to-end ~0.9 Mrays/s vs traversal-only
 Timing ends at a real device->host readback (the axon tunnel's
 block_until_ready does not wait for execution — see bench.py docstring).
 """
+import os
+import sys
 import time
 from functools import partial
 from unittest import mock
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
