@@ -69,10 +69,34 @@ def main():
     print(f"textures off (flat reflectance):           {t*1e3:8.1f} ms"
           f"  (texture share {100*(t_full-t)/t_full:4.1f}%)")
 
+    # cheap light sampling: constant overhead NEE record (keeps the shadow
+    # TRAVERSAL + MIS pipeline, removes selection/CDF/record arithmetic) —
+    # splits the measured NEE share into sampling-math vs shadow-ray cost
+    from cudatracerlib_tpu.models import lights as lightsmod
+
+    def fake_sample_direct(scene_, ref_p, state, u_override=None,
+                           override_mask=None, **_kw):
+        B = ref_p.shape[0]
+        tgt = jnp.asarray([0.0, 20.0, 0.0], jnp.float32)
+        d = tgt[None, :] - ref_p
+        dist = jnp.linalg.norm(d, axis=1)
+        d = d / jnp.maximum(dist, 1e-6)[:, None]
+        ed = lightsmod.EmitterDirect(
+            p=jnp.broadcast_to(tgt, (B, 3)), d=d, dist=dist,
+            n=jnp.zeros((B, 3)).at[:, 1].set(-1.0),
+            radiance_over_pdf=jnp.ones((B, 3)), pdf=jnp.ones(B),
+            is_delta=jnp.zeros(B, bool), light_idx=jnp.zeros(B, jnp.int32))
+        return ed, state
+    with mock.patch.object(lightsmod, "sample_emitter_direct",
+                           fake_sample_direct):
+        t = timeit(make(), *args)
+    print(f"cheap light sampling (shadow rays kept):   {t*1e3:8.1f} ms"
+          f"  (sampling-math share {100*(t_full-t)/t_full:4.1f}%)")
+
     # stub traversal: everything misses -> isolates everything downstream of
     # the hit (NB: miss lanes die after bounce 0, so compare against depth 1)
     def fake_intersect(geom, rays, any_hit=False, with_iters=False,
-                       roots=None, coherent=False):
+                       roots=None, coherent=False, any_mask=None, **_kw):
         B = rays.o.shape[0]
         hit = traversal.Hit(t=rays.tmax, tri=jnp.full(B, -1, jnp.int32),
                             u=jnp.zeros(B), v=jnp.zeros(B))
