@@ -424,9 +424,11 @@ FORCE_PALLAS = False
 import os as _os
 TREELET_INCOHERENT = _os.environ.get("CTL_TREELET_INCOHERENT", "1") == "1"
 V_COHERENT = int(_os.environ.get("CTL_V_COHERENT", "6"))
-V_INCOHERENT = int(_os.environ.get("CTL_V_INCOHERENT", "4"))
-#                       bounce/shadow rays: V=4 measured best (overflow ~8%
-#                       goes to the full-batch exact fallback)
+V_INCOHERENT = int(_os.environ.get("CTL_V_INCOHERENT", "3"))
+#                       bounce/shadow rays: the round-5 e2e sweep at
+#                       TREELET_ROWS=512 measured V=3 best on san-miguel
+#                       (1.208 vs 1.105 Mrays/s at the old ROWS=256/V=4;
+#                       V=2's overflow fallback eats the win — r5_queue12)
 # bucket-sort incoherent wavefronts before the VMEM Pallas kernel: the
 # kernel's while_loop runs to the WORST lane of each G*128-lane program, so
 # grouping rays by direction octant + origin cell equalizes per-program work

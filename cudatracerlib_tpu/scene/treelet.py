@@ -41,7 +41,7 @@ LANES = 128
 # A/Bs: larger treelets mean fewer visits per ray (fewer sort entries and
 # phase-2 blocks) at more VMEM per visit; the tradeoff is scene-dependent.
 import os as _os                                             # noqa: E402
-TREELET_ROWS = int(_os.environ.get("CTL_TREELET_ROWS", "256"))
+TREELET_ROWS = int(_os.environ.get("CTL_TREELET_ROWS", "512"))
 # The top table must stay on the VMEM Pallas path, so its cap is DERIVED from
 # that kernel's budget (advisor finding, round 3: scenes whose table fits the
 # VMEM kernel never reach the treelet dispatch, so a top cap above the VMEM
