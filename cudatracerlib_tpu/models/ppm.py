@@ -403,7 +403,12 @@ def _build_vol_grid_point(rows, valid, lo, hi, cell):
 def _build_vol_grid_ball(rows, valid, radius, lo, hi):
     from ..ops import dda
     keep = valid & _is_medium_row(rows)
-    return dda.build_ball_grid(rows, rows[:, 0:3], keep, radius, lo, hi)
+    # store only the 9 columns the beam estimator reads (pos/power/wi): the
+    # eye pass gathers B*max_cells*max_per_cell rows per depth, and gather
+    # cost on TPU is per-element — 12->9 is a straight 25% cut
+    # (tools/microbench_beamgrid.py measured the gather, not the walk or the
+    # math, as ~82% of radiance_beamgrid)
+    return dda.build_ball_grid(rows[:, 0:9], rows[:, 0:3], keep, radius, lo, hi)
 
 
 class PPMTracer(tracer.TracerBase):
@@ -461,6 +466,27 @@ class PPMTracer(tracer.TracerBase):
             active_types=self.active_types, with_volume=self.with_volume,
             vol_est=self.vol_est, vol_max_per_cell=vol_max_per_cell,
             alpha=self.alpha, final_gather=final_gather))
+
+        # beamgrid eye pass with the vol-grid build FUSED into the same
+        # program: tools/microbench_beamgrid.py measured build+query in one
+        # jit at 4.76 s vs 6.68 s for query-of-a-prebuilt-grid on the real
+        # fog-cornell shapes — XLA picks a gather-friendly layout for the
+        # sorted photon table when it sees the producer. The sharded path
+        # (parallel/render.py) already traces build+eye together.
+        def _eye_fused_beamgrid(scene, film, grid, rows, valid, pass_idx,
+                                radius, n_emitted, ppm_state=None):
+            vol_grid = _build_vol_grid_ball(rows, valid, radius,
+                                            scene.world_lo, scene.world_hi)
+            return eye_pass(scene, film, grid, vol_grid, pass_idx,
+                            w=width, h=height, radius=radius,
+                            n_emitted=n_emitted, max_depth=max_depth,
+                            active_types=self.active_types,
+                            with_volume=self.with_volume,
+                            vol_est=self.vol_est,
+                            vol_max_per_cell=vol_max_per_cell,
+                            ppm_state=ppm_state, alpha=self.alpha,
+                            final_gather=final_gather)
+        self._eye_fused_jit = jax.jit(_eye_fused_beamgrid)
         self._surf_grid_jit = jax.jit(_build_surface_grid)
         self._vol_point_jit = jax.jit(_build_vol_grid_point)
         self._vol_ball_jit = jax.jit(_build_vol_grid_ball)
@@ -484,25 +510,34 @@ class PPMTracer(tracer.TracerBase):
             cell = jnp.float32(2.0 * self.radius)
         grid = self._surf_grid_jit(rows, valid, scene.world_lo, scene.world_hi,
                                    cell)
-        if not self.with_volume:
-            vol_grid = None
-        elif self.vol_est == "beamgrid":
-            vol_grid = self._vol_ball_jit(rows, valid, r, scene.world_lo,
-                                          scene.world_hi)
-        elif self.vol_est == "beambeam":
-            vol_grid = self._beam_cells_jit(beams, bvalid, r, scene.world_lo,
-                                            scene.world_hi)
-        else:
-            vol_grid = self._vol_point_jit(rows, valid, scene.world_lo,
-                                           scene.world_hi, cell)
-        if self.adaptive_radii:
-            film, self._ppm_state = self._eye_jit(
-                scene, film, grid, vol_grid, jnp.int32(pass_idx),
+        if self.with_volume and self.vol_est == "beamgrid":
+            # fused build+eye program (see _eye_fused_beamgrid above)
+            out = self._eye_fused_jit(
+                scene, film, grid, rows, valid, jnp.int32(pass_idx),
                 radius=r, n_emitted=float(self.n_photons),
-                ppm_state=self._ppm_state)
+                ppm_state=self._ppm_state if self.adaptive_radii else None)
+            if self.adaptive_radii:
+                film, self._ppm_state = out
+            else:
+                film = out
         else:
-            film = self._eye_jit(scene, film, grid, vol_grid, jnp.int32(pass_idx),
-                                 radius=r, n_emitted=float(self.n_photons))
+            if not self.with_volume:
+                vol_grid = None
+            elif self.vol_est == "beambeam":
+                vol_grid = self._beam_cells_jit(beams, bvalid, r,
+                                                scene.world_lo, scene.world_hi)
+            else:
+                vol_grid = self._vol_point_jit(rows, valid, scene.world_lo,
+                                               scene.world_hi, cell)
+            if self.adaptive_radii:
+                film, self._ppm_state = self._eye_jit(
+                    scene, film, grid, vol_grid, jnp.int32(pass_idx),
+                    radius=r, n_emitted=float(self.n_photons),
+                    ppm_state=self._ppm_state)
+            else:
+                film = self._eye_jit(scene, film, grid, vol_grid,
+                                     jnp.int32(pass_idx),
+                                     radius=r, n_emitted=float(self.n_photons))
         # progressive radius schedule r_{i+1}^2 = r_i^2 * (i+alpha)/(i+1)
         # (drives the volumetric estimator; surface radii are per-pixel when
         # adaptive_radii)

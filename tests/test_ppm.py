@@ -75,3 +75,26 @@ def test_ppm_volumetric_estimator():
                                             spp_per_pass=1).render(32))
     ratio = img_pm[8:16, 8:16].mean() / img_pt[8:16, 8:16].mean()
     assert 0.7 < ratio < 1.25, ratio
+
+
+@pytest.mark.slow
+def test_fused_beamgrid_eye_matches_unfused():
+    """The fused build+eye program (PPMTracer._eye_fused_jit) and the split
+    _vol_ball_jit + _eye_jit path must agree bit-for-bit: the fusion only
+    moves the grid build inside the jit and trims the stored photon rows to
+    the 9 columns the beam estimator reads (pos/power/wi)."""
+    scene = example_scenes.fog_cornell(48, 48).build()
+    tr = ppmmod.PPMTracer(scene, 48, 48)
+    assert tr.with_volume and tr.vol_est == "beamgrid"
+    rows, valid = tr._trace_jit(tr.scene, pass_idx=jnp.int32(0))
+    r = jnp.float32(tr.radius)
+    from cudatracerlib_tpu.models import film as filmmod
+    f0 = filmmod.new_film(48, 48)
+    cell = jnp.float32(2.0 * tr.radius)
+    grid = tr._surf_grid_jit(rows, valid, scene.world_lo, scene.world_hi, cell)
+    vol = tr._vol_ball_jit(rows, valid, r, scene.world_lo, scene.world_hi)
+    a = tr._eye_jit(scene, f0, grid, vol, jnp.int32(0), radius=r,
+                    n_emitted=float(tr.n_photons))
+    b = tr._eye_fused_jit(scene, f0, grid, rows, valid, jnp.int32(0),
+                          radius=r, n_emitted=float(tr.n_photons))
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-5)
