@@ -313,8 +313,9 @@ def bench_ppm():
     ph = ph_r[times.index(statistics.median_low(times))]
     return {
         "metric": "PPM photon+eye pass (fog cornell 256x256, volumetric)",
-        "value": round(ph / dt / 1e6, 3),
+        "value": round(ph / dt / 1e6, 5),
         "unit": "Mphotons/s",
+        "seconds_per_pass": round(dt / n_passes, 2),
         "spp_per_s": round(n_passes / dt, 3),
         "vs_baseline": None,
         "timing": "time-to-readback",
