@@ -567,7 +567,14 @@ def main():
 
     if len(sys.argv) > 1:  # child mode: run one config, print one JSON line
         _setup_jax_cache()
-        print(json.dumps(CONFIGS[sys.argv[1]]()), flush=True)
+        rec = CONFIGS[sys.argv[1]]()
+        if rec.get("value") is not None and not any(
+                k.startswith("CTL_") for k in os.environ):
+            # single-config invocations persist too, so the last_good
+            # fallback is as fresh as the newest successful run — but only
+            # at HEAD defaults (CTL_* A/B overrides must not pollute it)
+            _persist_last_good(sys.argv[1], rec)
+        print(json.dumps(rec), flush=True)
         return
 
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
