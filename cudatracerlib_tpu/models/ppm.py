@@ -244,8 +244,16 @@ def eye_pass(scene: schema.SceneData, film: filmmod.Film, grid: hashgrid.HashGri
         trace_rays = rays._replace(tmax=jnp.where(active, rays.tmax, 0.0))
         hit = traversal8.intersect_scene(scene.geom, trace_rays)
         if with_volume:
+            # inactive lanes get a ZERO-length segment: their in-scatter is
+            # masked out below anyway, but a nonzero t_seg kept them walking
+            # the whole grid inside dda_walk (the gather is paid per
+            # iteration whether lanes are masked or not) — at bounce depths
+            # where most rays have terminated that was almost all the work.
+            # Their beta decays to whatever exp(-tau) says, which is never
+            # read again (active never resurrects).
             t_seg = jnp.where(hit.valid, hit.t,
                               2.0 * jnp.max(scene.world_hi - scene.world_lo))
+            t_seg = jnp.where(active, t_seg, 0.0)
             # in-scattered radiance gathered along this segment, then
             # attenuate the throughput. Estimator selection mirrors the
             # reference's PPPMTracer<VolEstimator> template parameter.

@@ -45,8 +45,8 @@ def dda_walk(grid: hashgrid.HashGrid, o: Array, d: Array, t0: Array, t1: Array,
     next_b = grid.lo + (cell + jnp.where(step > 0, 1, 0)) * cell_size
     t_max3 = t0[:, None] + (next_b - p0) / safe_d              # (B, 3)
 
-    def body(_, st):
-        carry, cell, t_max3, t_cur, alive = st
+    def body(st):
+        it, carry, cell, t_max3, t_cur, alive = st
         flat = (cell[:, 2] * grid.dims[1] + cell[:, 1]) * grid.dims[0] + cell[:, 0]
         t_exit = jnp.minimum(jnp.min(t_max3, axis=-1), t1)
         carry = visit_fn(carry, flat, t_cur, t_exit, alive)
@@ -57,12 +57,20 @@ def dda_walk(grid: hashgrid.HashGrid, o: Array, d: Array, t0: Array, t1: Array,
         t_max3 = t_max3 + jnp.where(oh, t_delta, 0.0)
         in_bounds = jnp.all((cell >= 0) & (cell < grid.dims), axis=-1)
         alive = alive & (t_cur2 < t1) & in_bounds
-        return carry, cell, t_max3, t_cur2, alive
+        return it + 1, carry, cell, t_max3, t_cur2, alive
 
+    # while_loop with an all-dead early exit instead of a fixed fori_loop:
+    # each iteration pays the full per-cell photon gather even for masked
+    # lanes (the gather indices are data-independent), so once every lane
+    # has left the grid the remaining (max_cells - worst_lane) iterations
+    # were pure waste — in the PPM eye pass bounce depths where most rays
+    # have terminated, nearly ALL of max_cells was dead work. Bit-exact:
+    # dead lanes contribute nothing to visit_fn by contract.
     alive0 = t0 < t1
-    st = (init, cell, t_max3, t0, alive0)
-    st = jax.lax.fori_loop(0, max_cells, body, st)
-    return st[0]
+    st = (jnp.int32(0), init, cell, t_max3, t0, alive0)
+    st = jax.lax.while_loop(
+        lambda s: (s[0] < max_cells) & jnp.any(s[5]), body, st)
+    return st[1]
 
 
 def gather_cell(grid: hashgrid.HashGrid, flat_cell: Array, accum_fn, carry,

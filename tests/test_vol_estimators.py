@@ -57,3 +57,51 @@ def test_beamgrid_transmittance_matches_analytic(slab):
                                  max_cells=96)
     expect = np.exp(-0.85)  # sigma_t * 1 unit
     np.testing.assert_allclose(np.asarray(Tr)[:, 0], expect, rtol=0.08)
+
+
+def test_dda_walk_early_exit_matches_full_trip():
+    """dda_walk's all-dead early exit (while_loop) must agree with a fixed
+    max_cells trip: dead lanes contribute nothing by the visit contract, so
+    exiting once every lane has left the grid is bit-exact."""
+    import jax
+    import jax.numpy as jnp
+    from cudatracerlib_tpu.ops import dda, hashgrid
+    rng = np.random.default_rng(7)
+    N, B = 512, 64
+    pos = jnp.asarray(rng.random((N, 3), np.float32))
+    data = jnp.concatenate([pos, jnp.asarray(rng.random((N, 9), np.float32))], 1)
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3)
+    grid = hashgrid.build_grid(data, pos, jnp.ones(N, bool), lo, hi,
+                               jnp.float32(0.125))
+    o = jnp.asarray(rng.random((B, 3), np.float32))
+    d = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    # mix of zero-length (dead from the start), short, and grid-crossing rays
+    t1 = jnp.asarray(np.where(rng.random(B) < 0.3, 0.0,
+                              rng.random(B) * 3.0).astype(np.float32))
+
+    def visit(carry, flat_cell, t_enter, t_exit, alive):
+        s, cnt = carry
+        start, count = hashgrid.query_ranges(grid, flat_cell)
+        contrib = (t_exit - t_enter) * count.astype(jnp.float32)
+        s = s + jnp.where(alive, contrib, 0.0)
+        return s, cnt + alive.astype(jnp.int32)
+
+    init = (jnp.zeros(B), jnp.zeros(B, jnp.int32))
+    few = jax.jit(lambda: dda.dda_walk(grid, o, d, jnp.zeros(B), t1, visit,
+                                       init, max_cells=8))()
+    many = jax.jit(lambda: dda.dda_walk(grid, o, d, jnp.zeros(B), t1, visit,
+                                        init, max_cells=256))()
+    # 256 >> the longest possible crossing of an 8^3 grid: the while_loop
+    # must stop at the worst lane's exit, and a larger budget can't change
+    # the answer once every lane is out
+    huge = jax.jit(lambda: dda.dda_walk(grid, o, d, jnp.zeros(B), t1, visit,
+                                        init, max_cells=4096))()
+    np.testing.assert_array_equal(np.asarray(many[0]), np.asarray(huge[0]))
+    np.testing.assert_array_equal(np.asarray(many[1]), np.asarray(huge[1]))
+    # the small budget genuinely truncates (sanity that max_cells still binds)
+    assert np.any(np.asarray(few[1]) != np.asarray(many[1]))
+    # zero-length rays visit nothing
+    dead = np.asarray(t1) == 0.0
+    np.testing.assert_array_equal(np.asarray(many[1])[dead], 0)
