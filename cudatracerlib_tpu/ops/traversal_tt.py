@@ -42,13 +42,16 @@ DONE = -1
 POP = -0x40000000
 LANES = 128
 STACK_D = 16
+import os as _os                                             # noqa: E402
 DEFAULT_K = 8
 DEFAULT_G = 4
-DEFAULT_K2 = 2          # phase-2 block = K2*G2*128 slots; smaller blocks cut
-DEFAULT_G2 = 2          # the per-treelet round-up padding (~T*block slots)
+# phase-2 block = K2*G2*128 slots: smaller blocks cut the per-treelet
+# round-up padding (~T*block slots); larger blocks amortize per-block slab
+# DMA switches and halve the glue's block count. Never swept before round 5b.
+DEFAULT_K2 = int(_os.environ.get("CTL_TT_K2", "2"))
+DEFAULT_G2 = int(_os.environ.get("CTL_TT_G2", "2"))
 DEFAULT_V = 6           # treelet-visit budget per ray (overflow is counted;
 #                         rays past the budget re-traverse on the XLA path)
-import os as _os                                             # noqa: E402
 # two-round phase 2 (cross-treelet t_best): round A runs each ray's V/2
 # nearest-entry visits; round B skips visits whose slab entry can no longer
 # beat the tightened t. Default OFF: measured e2e LOSS on san-miguel

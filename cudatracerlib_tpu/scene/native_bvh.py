@@ -50,6 +50,25 @@ def available() -> bool:
     return _load() is not None
 
 
+def _build_cache_path(v0, v1, v2) -> str:
+    """Content-keyed cache file for a finished SBVH build. Same pattern as
+    the compiled-mesh cache (`DynamicScene.cpp:254-304` compiles meshes once
+    to `.xmsh`): the large-scene SBVH costs tens of host seconds per bench
+    child on this 1-core box, and every `python bench.py san_miguel` child
+    re-paid it. Subsampled-content sha1 (like treelet.partition_cached);
+    uncompressed savez — zlib on ~400MB of f32 geometry costs more than the
+    build."""
+    import hashlib
+    T = v0.shape[0]
+    step = max(1, T // 9973)
+    h = hashlib.sha1()
+    for a in (v0, v1, v2):
+        h.update(np.ascontiguousarray(a[::step], np.float32).tobytes())
+    d = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"bvh8_{T}_{h.hexdigest()[:16]}.npz")
+
+
 def build_bvh8(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                n_threads: int = 8) -> bvh8mod.BVH8:
     """Native binned-SAH + 8-wide collapse; numpy fallback when unavailable."""
@@ -60,6 +79,14 @@ def build_bvh8(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     v0 = np.ascontiguousarray(v0, np.float32)
     v1 = np.ascontiguousarray(v1, np.float32)
     v2 = np.ascontiguousarray(v2, np.float32)
+    cp = _build_cache_path(v0, v1, v2)
+    if os.path.exists(cp):
+        try:
+            z = np.load(cp)
+            return bvh8mod.BVH8(nodes=z["nodes"], leaves=z["leaves"],
+                                world_lo=z["lo"], world_hi=z["hi"])
+        except Exception:
+            pass   # unreadable/stale cache: rebuild below
     # SBVH spatial splits may duplicate references (budget 1.4x in the
     # native builder), so leaf rows can exceed the triangle count
     max_rows = int(T * 1.5) + 16
@@ -75,6 +102,15 @@ def build_bvh8(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         return bvh8mod.build_bvh8(v0, v1, v2)
     lo = np.minimum(np.minimum(v0, v1), v2).min(0)
     hi = np.maximum(np.maximum(v0, v1), v2).max(0)
-    return bvh8mod.BVH8(nodes=nodes[:counts[0]].copy(),
-                        leaves=leaves[:counts[1]].copy(),
-                        world_lo=lo.astype(np.float32), world_hi=hi.astype(np.float32))
+    out = bvh8mod.BVH8(nodes=nodes[:counts[0]].copy(),
+                       leaves=leaves[:counts[1]].copy(),
+                       world_lo=lo.astype(np.float32),
+                       world_hi=hi.astype(np.float32))
+    try:
+        tmp = cp + ".tmp.npz"
+        np.savez(tmp, nodes=out.nodes, leaves=out.leaves,
+                 lo=out.world_lo, hi=out.world_hi)
+        os.replace(tmp, cp)
+    except Exception:
+        pass   # cache write is best-effort
+    return out
